@@ -1,0 +1,120 @@
+"""Denoising score-matching losses for continuous SDEs.
+
+TPU-native rewrite of the three DSM weightings the reference trains with
+(/root/reference/sde_helper2.py:152-186) plus the importance-weighted time
+sampler (/root/reference/sde_helper2.py:131-150 — which the reference itself,
+amusingly, runs in jax.numpy on CPU; here it is fully jitted and fused with
+the rest of the loss).
+
+All functions are pure: they take an explicit PRNG key and a ``score_fn``
+closure ``(x, t) -> score`` that already captures network params, so the
+same loss drives single-chip training, the vmapped fleet, and pjit-sharded
+data parallelism unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.shaping import batch_mul, flatten_batch
+
+
+def _likelihood_importance_cum_weight(t, beta_0, beta_1, eps=1e-5):
+    """Cumulative importance weight Z(t) = int_eps^t g(s)^2 / sigma(s)^2 ds.
+
+    Closed form for the VP SDE, numerically stabilized around small
+    exponents exactly as the reference does
+    (/root/reference/sde_helper2.py:131-136).
+    """
+    exponent_eps = 0.5 * eps * (eps - 2) * beta_0 - 0.5 * eps**2 * beta_1
+    exponent_t = 0.5 * t * (t - 2) * beta_0 - 0.5 * t**2 * beta_1
+    term_eps = jnp.where(jnp.abs(exponent_eps) <= 1e-3, -exponent_eps, 1.0 - jnp.exp(exponent_eps))
+    term_t = jnp.where(jnp.abs(exponent_t) <= 1e-3, -exponent_t, 1.0 - jnp.exp(exponent_t))
+    return 0.5 * (
+        -2 * jnp.log(term_eps)
+        + 2 * jnp.log(term_t)
+        + beta_0 * (-2 * eps + eps**2 - (t - 2) * t)
+        + beta_1 * (-(eps**2) + t**2)
+    )
+
+
+def sample_importance_weighted_time(
+    key, batch_size, beta_0, beta_1, *, T=1.0, eps=1e-5, steps=100
+):
+    """Draw t ~ p(t) proportional to g(t)^2/sigma(t)^2 via bisection of Z(t).
+
+    Fully on-device ``lax.fori_loop`` bisection (the reference runs a Python
+    loop of 100 jnp steps on host, /root/reference/sde_helper2.py:138-150).
+    """
+    Z = _likelihood_importance_cum_weight(jnp.asarray(T), beta_0, beta_1, eps)
+    quantile = jax.random.uniform(key, (batch_size,), minval=0.0, maxval=Z)
+    lb = jnp.full((batch_size,), eps)
+    ub = jnp.full((batch_size,), float(T))
+
+    def body(_, carry):
+        lb, ub = carry
+        mid = (lb + ub) / 2.0
+        value = _likelihood_importance_cum_weight(mid, beta_0, beta_1, eps)
+        go_right = value <= quantile
+        return jnp.where(go_right, mid, lb), jnp.where(go_right, ub, mid)
+
+    lb, ub = jax.lax.fori_loop(0, steps, body, (lb, ub))
+    return (lb + ub) / 2.0
+
+
+def dsm_loss(
+    key,
+    score_fn,
+    sde,
+    batch,
+    *,
+    reduce_mean=True,
+    likelihood_weighting=True,
+    importance_sampling=False,
+    eps=1e-5,
+):
+    """Continuous-time denoising score matching loss.
+
+    Matches /root/reference/sde_helper2.py:152-186:
+
+    - standard weighting (``likelihood_weighting=False``):
+      E ||score * std + z||^2
+    - likelihood (g^2) weighting: E g(t)^2 ||score + z/std||^2
+    - likelihood weighting with importance-sampled t: standard-form loss but
+      with t drawn from the g^2/sigma^2 density (VP only).
+
+    Args:
+      key: PRNG key.
+      score_fn: ``(x, t) -> score`` with params closed over.
+      sde: one of diffusion.sde's SDE dataclasses.
+      batch: clean latents, shape (B, ...).
+
+    Returns scalar loss.
+    """
+    t_key, z_key = jax.random.split(key)
+    B = batch.shape[0]
+
+    if likelihood_weighting and importance_sampling:
+        t = sample_importance_weighted_time(t_key, B, sde.beta_0, sde.beta_1, T=sde.T)
+    else:
+        t = jax.random.uniform(t_key, (B,), minval=eps, maxval=sde.T)
+    t = t.astype(batch.dtype)
+
+    z = jax.random.normal(z_key, batch.shape, batch.dtype)
+    mean, std = sde.marginal_prob(batch, t)
+    perturbed = mean + batch_mul(std, z)
+    score = score_fn(perturbed, t)
+
+    def reduce_op(v):
+        return jnp.mean(v, -1) if reduce_mean else 0.5 * jnp.sum(v, -1)
+
+    if likelihood_weighting and not importance_sampling:
+        g2 = sde.sde(jnp.zeros_like(batch), t)[1] ** 2
+        losses = (score + batch_mul(1.0 / std, z)) ** 2
+        per_example = reduce_op(flatten_batch(losses)) * g2
+    else:
+        losses = (batch_mul(std, score) + z) ** 2
+        per_example = reduce_op(flatten_batch(losses))
+
+    return jnp.mean(per_example)

@@ -1,0 +1,69 @@
+"""Evaluation classifiers: PolyMNIST digit CLF + CelebA attribute CLF.
+
+- ``PolyMNISTClassifier``: the 3-conv digit classifier used for coherence
+  scoring (PMCLF, /root/reference/polymnist_model.py:372-392). It consumes
+  28x28 center crops of the 32x32 tensors
+  (/root/reference/train_poly_unet_cont.py:475). The reference ships only a
+  missing checkpoint binary; here the classifier is trained in-framework
+  (see ``train.classifier_trainer``).
+- ``ResClassifier``: conv attribute classifier used for CelebA F1 and the
+  FGSM adversarial eval (ResCLF, /root/reference/h_vae_model_copy.py:208-235).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .vae import ResBlock
+
+
+class PolyMNISTClassifier(nn.Module):
+    """conv(3->32,s2) conv(32->64,s2) conv(64->128,s2) -> MLP(2048,512,10)."""
+
+    num_classes: int = 10
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate((32, 64, 128)):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(x))
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+
+
+def center_crop_28(x):
+    """32x32 -> 28x28 center crop the classifier expects
+    (train_poly_unet_cont.py:475: ``[:, :, 2:30, 2:30]`` in NCHW)."""
+    if x.shape[1] == 28:
+        return x
+    return x[:, 2:30, 2:30, :]
+
+
+class ResClassifier(nn.Module):
+    """Residual conv classifier over images -> ``size_out`` logits
+    (ResCLF, h_vae_model_copy.py:208-235; ReLU blocks per RBlock2)."""
+
+    channel_list: Sequence[Tuple[int, int, int, int]]
+    size_out: int = 18
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.channel_list[0][0], (5, 5), padding=2, dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        for i, (cin, mid, out, rate) in enumerate(self.channel_list):
+            x = ResBlock(mid, out, down_rate=rate, act="relu", dtype=self.dtype,
+                         name=f"block{i}")(x, train)
+        return nn.Dense(self.size_out, dtype=self.dtype, name="clf_lin")(
+            x.reshape(x.shape[0], -1)
+        )

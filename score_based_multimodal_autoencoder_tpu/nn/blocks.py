@@ -1,0 +1,200 @@
+"""Building blocks for the score networks (flax.linen, NHWC, bf16-ready).
+
+TPU-native re-design of the UNet blocks the reference uses
+(/root/reference/unet_model.py:21-187): channels-last layout so convs map
+directly onto XLA's TPU conv lowering, explicit ``dtype``/``param_dtype``
+split for bfloat16 compute with float32 params, and norm statistics computed
+in float32 for stability.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class SinusoidalTimeEmbedding(nn.Module):
+    """Sinusoidal embeddings of diffusion time (unet_model.py:35-47).
+
+    Takes t of shape (B,) (continuous in [0, T]), returns (B, dim):
+    [sin(t * w_0..w_{h-1}), cos(...)] with w_k = exp(-k log(1e4)/(h-1)).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        freq = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+        )
+        ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimeMLP(nn.Module):
+    """dim -> 4*dim GELU MLP over the sinusoidal embedding
+    (unet_model.py:220-227)."""
+
+    dim: int
+    time_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        emb = SinusoidalTimeEmbedding(self.dim)(t)
+        emb = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(emb.astype(self.dtype))
+        emb = nn.gelu(emb)
+        emb = nn.Dense(self.time_dim, dtype=self.dtype, name="fc2")(emb)
+        return emb
+
+
+class ConvBlock(nn.Module):
+    """conv3x3 -> GroupNorm -> (scale,shift) -> SiLU (unet_model.py:49-65)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[tuple] = None):
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two ConvBlocks with additive time embedding + residual
+    (unet_model.py:67-90)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        h = ConvBlock(self.dim_out, self.groups, self.dtype, name="block1")(x)
+        if time_emb is not None:
+            emb = nn.Dense(self.dim_out, dtype=self.dtype, name="time_proj")(
+                nn.silu(time_emb)
+            )
+            h = h + emb[:, None, None, :]
+        h = ConvBlock(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class ConvNeXtBlock(nn.Module):
+    """ConvNeXt-style block: depthwise 7x7 -> LN -> pointwise MLP + residual
+    (unet_model.py:92-124). The default block of the latent score UNet."""
+
+    dim: int
+    dim_out: int
+    mult: int = 2
+    norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        h = nn.Conv(
+            self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+            dtype=self.dtype, name="ds_conv",
+        )(x)
+        if time_emb is not None:
+            emb = nn.Dense(self.dim, dtype=self.dtype, name="time_proj")(
+                nn.gelu(time_emb)
+            )
+            h = h + emb[:, None, None, :]
+        if self.norm:
+            # GroupNorm(1) == LayerNorm over (H, W, C) stats per the torch
+            # semantics of nn.GroupNorm(1, dim).
+            h = nn.GroupNorm(num_groups=1, dtype=self.dtype, name="norm1")(h)
+        h = nn.Conv(self.dim_out * self.mult, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.gelu(h)
+        h = nn.GroupNorm(num_groups=1, dtype=self.dtype, name="norm2")(h)
+        h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class Attention(nn.Module):
+    """Full softmax self-attention over spatial positions
+    (unet_model.py:126-149). Operates on at most 16x16=256 positions in the
+    shipped configs, so a plain fused einsum is already MXU-optimal."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        q = q * (self.dim_head**-0.5)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k)
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+        out = out.reshape(B, H, W, hidden)
+        return nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+class LinearAttention(nn.Module):
+    """Linear attention (unet_model.py:151-177): softmax(q over d),
+    softmax(k over n), context = k v^T, out = context^T q."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        q = nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)  # over d
+        k = nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)  # over n
+        q = q * (self.dim_head**-0.5)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(B, H, W, hidden)
+        out = nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
+        return nn.GroupNorm(num_groups=1, dtype=self.dtype, name="out_norm")(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(GroupNorm(1)(x)) (unet_model.py:21-27, 179-187)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return x + self.fn(nn.GroupNorm(num_groups=1, dtype=x.dtype, name="norm")(x))
+
+
+def downsample(dim, dtype=jnp.float32, name=None):
+    """Strided 4x4 conv halving spatial dims (unet_model.py:32-33)."""
+    return nn.Conv(dim, (4, 4), strides=(2, 2), padding=1, dtype=dtype, name=name)
+
+
+def upsample(dim, dtype=jnp.float32, name=None):
+    """Transposed 4x4 conv doubling spatial dims (unet_model.py:29-30)."""
+    # flax ConvTranspose 'SAME' reproduces torch ConvTranspose2d(k=4, s=2,
+    # p=1)'s out = 2*in shape law (explicit (1,1) padding would not).
+    return nn.ConvTranspose(
+        dim, (4, 4), strides=(2, 2), padding="SAME", dtype=dtype, name=name
+    )

@@ -1,0 +1,2 @@
+from .shaping import batch_mul, flatten_batch
+from .rng import RngStream

@@ -1,0 +1,88 @@
+"""Latent UNet shape/structure tests for the shipped reference configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+
+def _make(dim, channels, dim_mults, hw, batch=2, **kw):
+    net = LatentUNet(dim=dim, channels=channels, dim_mults=dim_mults, **kw)
+    x = jnp.zeros((batch, hw, hw, channels))
+    t = jnp.full((batch,), 0.5)
+    params = net.init(jax.random.key(0), x, t)
+    return net, params, x, t
+
+
+def test_polymnist_config_shapes():
+    """dim=128, channels=10, mults (1,2,2,2) on 8x8 latents
+    (train_poly_unet_cont.py:567-572) - smoke-sized here as dim=32."""
+    net, params, x, t = _make(32, 10, (1, 2, 2, 2), 8)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 8, 8, 10)
+
+
+def test_celebhq_config_shapes():
+    """dim=256, channels=3, mults (1,2,2,2,2) on 16x16 latents
+    (train_lat_celebhq_unet_cont2.py:470-472) - smoke-sized as dim=16."""
+    net, params, x, t = _make(16, 3, (1, 2, 2, 2, 2), 16)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_non_pow2_input_padded_and_cropped():
+    """6x6 input must pad to 8x8 internally and crop back
+    (unet_model.py:276-283 parity)."""
+    net, params, x, t = _make(16, 4, (1, 2), 6)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 6, 6, 4)
+
+
+def test_resnet_block_variant():
+    net, params, x, t = _make(16, 3, (1, 2), 8, use_convnext=False)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 8, 8, 3)
+
+
+def test_time_conditioning_changes_output():
+    net, params, x, t = _make(16, 3, (1, 2), 8)
+    x = jax.random.normal(jax.random.key(1), x.shape)
+    out_a = net.apply(params, x, jnp.full((2,), 0.1))
+    out_b = net.apply(params, x, jnp.full((2,), 0.9))
+    assert np.abs(np.array(out_a) - np.array(out_b)).max() > 1e-5
+
+
+def test_no_time_emb():
+    net = LatentUNet(dim=16, channels=3, dim_mults=(1, 2), with_time_emb=False)
+    x = jnp.zeros((2, 8, 8, 3))
+    params = net.init(jax.random.key(0), x, None)
+    out = net.apply(params, x, None)
+    assert out.shape == (2, 8, 8, 3)
+
+
+def test_bf16_compute_path():
+    net = LatentUNet(dim=16, channels=3, dim_mults=(1, 2), dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(0), x, t)
+    out = net.apply(params, x, t)
+    # Output restored to input dtype; params stay f32.
+    assert out.dtype == jnp.float32
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_gradients_flow_everywhere():
+    net, params, x, t = _make(16, 3, (1, 2), 8)
+    x = jax.random.normal(jax.random.key(2), x.shape)
+
+    def loss(p):
+        return jnp.sum(net.apply(p, x, t) ** 2)
+
+    grads = jax.grad(loss)(params)
+    norms = [float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(norms))
+    # The finest skip is unused by design, but every PARAM must get grads.
+    assert sum(n == 0.0 for n in norms) <= len(norms) * 0.05
