@@ -93,7 +93,9 @@ class VPSDE(SDE):
     def marginal_prob(self, x, t):
         log_mean_coeff = self._log_mean_coeff(t)
         mean = batch_mul(jnp.exp(log_mean_coeff), x)
-        std = jnp.sqrt(1.0 - jnp.exp(2.0 * log_mean_coeff))
+        # -expm1 instead of 1-exp: keeps full precision for t -> 0, where
+        # the reference's float32 formula collapses to sqrt(eps) noise.
+        std = jnp.sqrt(-jnp.expm1(2.0 * log_mean_coeff))
         return mean, std
 
     def prior_sampling(self, key, shape, dtype=jnp.float32):
@@ -136,7 +138,7 @@ class SubVPSDE(SDE):
     def sde(self, x, t):
         beta_t = self.beta(t)
         drift = batch_mul(-0.5 * beta_t, x)
-        discount = 1.0 - jnp.exp(-2 * self.beta_0 * t - (self.beta_1 - self.beta_0) * t**2)
+        discount = -jnp.expm1(-2 * self.beta_0 * t - (self.beta_1 - self.beta_0) * t**2)
         diffusion = jnp.sqrt(beta_t * discount)
         return drift, diffusion
 
@@ -145,7 +147,8 @@ class SubVPSDE(SDE):
         mean = batch_mul(jnp.exp(log_mean_coeff), x)
         # Faithful to the reference: variance-like std WITHOUT sqrt
         # (/root/reference/sde_helper2.py:412, see SURVEY.md §7.4).
-        std = 1.0 - jnp.exp(2.0 * log_mean_coeff)
+        # expm1 form for precision at small t.
+        std = -jnp.expm1(2.0 * log_mean_coeff)
         return mean, std
 
     def prior_sampling(self, key, shape, dtype=jnp.float32):
