@@ -1,0 +1,69 @@
+"""Device mesh construction and data-parallel sharding.
+
+The reference has NO distributed machinery (SURVEY.md §2.8): one CUDA
+device per script, parallelism = launching 10 independent processes. Here
+every stage is data parallel over a ``jax.sharding.Mesh``:
+
+- batch axis sharded over the ``data`` mesh axis (ICI collectives inserted
+  by XLA for the gradient psum),
+- params/opt-state replicated (models are <100M params; TP/PP are
+  deliberately out of scope, documented rather than silently absent),
+- an optional ``fleet`` axis shards the per-modality VAE ensemble
+  (one-VAE-per-device "expert"-style parallelism, see parallel.fleet).
+
+Multi-host: the same code runs under ``jax.distributed.initialize`` with a
+DCN-connected mesh; only data parallel crosses hosts, so collectives stay
+on ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    fleet_size: int = 1,
+) -> Mesh:
+    """Build a (data, fleet) mesh over the given (default: all) devices.
+
+    ``fleet_size`` devices are assigned to the fleet axis (must divide the
+    device count); the rest form the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % fleet_size != 0:
+        raise ValueError(f"fleet_size {fleet_size} must divide device count {n}")
+    arr = np.array(devices).reshape(n // fleet_size, fleet_size)
+    return Mesh(arr, axis_names=("data", "fleet"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a (pytree of) batch array(s) sharded on axis 0 over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
+    """jit a ``(state, batch, key) -> (state, aux)`` step for DP execution.
+
+    State replicated, batch sharded on 'data'; XLA's sharding propagation
+    inserts the gradient all-reduce over ICI automatically.
+    """
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, dat, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )

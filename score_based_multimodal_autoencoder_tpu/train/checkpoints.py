@@ -1,0 +1,52 @@
+"""Orbax checkpointing with the reference's dual best-on-val / last policy.
+
+The reference torch.saves a dict of {epoch, model_state_dict, losses, ...}
+best-on-validation plus an every-epoch ``_last_epoch`` file
+(/root/reference/train_polyupd.py:226-235,
+/root/reference/train_poly_unet_cont.py:663-690) and never saves optimizer
+state. Here the FULL train state (params, optimizer, BN stats, EMA, step)
+and the PRNG key are checkpointed, giving true preemption-safe resume
+(SURVEY.md §5) - a capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """best/ and last/ checkpoints under a root dir, with metadata."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+        self.best_metric: Optional[float] = None
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def save_last(self, state: Any):
+        self._ckpt.save(self._dir("last"), state, force=True)
+
+    def save_best(self, state: Any, metric: float):
+        """Save iff ``metric`` improves (lower = better, val-loss policy)."""
+        if self.best_metric is None or metric < self.best_metric:
+            self.best_metric = float(metric)
+            self._ckpt.save(self._dir("best"), state, force=True)
+            return True
+        return False
+
+    def restore(self, target: Any, which: str = "last") -> Any:
+        """Restore into the structure of ``target`` (an abstract state)."""
+        return self._ckpt.restore(self._dir(which), target=target)
+
+    def exists(self, which: str = "last") -> bool:
+        return os.path.isdir(self._dir(which))
+
+    def wait(self):
+        self._ckpt.wait_until_finished()

@@ -1,0 +1,141 @@
+"""Mesh + fleet tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from score_based_multimodal_autoencoder_tpu.models import ResVAE
+from score_based_multimodal_autoencoder_tpu.parallel import (
+    VAEFleet,
+    data_parallel_jit,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def _tiny_vae():
+    return ResVAE(
+        enc_channel_list=((8, 8, 8, 2), (8, 16, 16, 2)),
+        dec_channel_list=((16, 8, 8, 2), (8, 8, 8, 2)),
+        size_in=16, size_z=16, img_ch=3, variant="poly",
+    )
+
+
+def test_make_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(fleet_size=2)
+    assert mesh.shape == {"data": 4, "fleet": 2}
+    with pytest.raises(ValueError):
+        make_mesh(fleet_size=3)
+
+
+def test_shard_batch_and_replicate():
+    mesh = make_mesh(fleet_size=1)
+    x = jnp.arange(64, dtype=jnp.float32).reshape(16, 4)
+    xs = shard_batch(mesh, x)
+    assert len(xs.sharding.device_set) == 8
+    p = replicate(mesh, {"w": jnp.ones((3,))})
+    assert p["w"].sharding.is_fully_replicated
+
+
+def test_fleet_train_matches_independent_training():
+    """The vmapped fleet must be numerically equivalent to training each
+    VAE independently with the same keys/data."""
+    vae = _tiny_vae()
+    n_mod = 2
+    tx = optax.sgd(1e-2)
+    fleet = VAEFleet(vae, n_mod, tx, beta=0.5)
+    key = jax.random.key(0)
+    sample_x = jnp.zeros((4, 16, 16, 3))
+    state = fleet.init(key, sample_x)
+    batch = jax.random.uniform(jax.random.key(1), (n_mod, 4, 16, 16, 3))
+
+    step_key = jax.random.key(2)
+    new_state, metrics = jax.jit(fleet.train_step)(state, batch, step_key)
+    assert metrics["total"].shape == (n_mod,)
+
+    # Independent training of modality 1 with identical init/keys.
+    keys = jax.random.split(key, n_mod)
+    init_k, noise_k = jax.random.split(keys[1])
+    variables = vae.init(init_k, sample_x, key=noise_k, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    from score_based_multimodal_autoencoder_tpu.models.vae import vae_loss
+
+    k1 = jax.random.split(step_key, n_mod)[1]
+
+    def loss_fn(p):
+        (out, mu, logvar), upd = vae.apply(
+            {"params": p, "batch_stats": stats}, batch[1], key=k1, train=True,
+            mutable=["batch_stats"],
+        )
+        recon, kl = vae_loss(batch[1], out, mu, logvar, 0.5)
+        return recon + kl, upd
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    indep = optax.apply_updates(params, updates)
+
+    fleet_leaf = jax.tree_util.tree_leaves(new_state["params"])[0][1]
+    indep_leaf = jax.tree_util.tree_leaves(indep)[0]
+    np.testing.assert_allclose(np.array(fleet_leaf), np.array(indep_leaf),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(metrics["total"][1]), float(loss), rtol=1e-5)
+
+
+def test_fleet_encode_decode_shapes():
+    vae = _tiny_vae()
+    fleet = VAEFleet(vae, 3, optax.adam(1e-3))
+    state = fleet.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
+    batch = jnp.zeros((3, 2, 16, 16, 3))
+    grid = fleet.encode(state, batch, latent_hw=4)
+    assert grid.shape == (2, 4, 4, 3)
+    pixels = fleet.decode(state, grid)
+    assert pixels.shape == (3, 2, 16, 16, 3)
+
+
+def test_fleet_sharded_step_runs():
+    mesh = make_mesh(fleet_size=2)
+    vae = _tiny_vae()
+    n_mod = 2
+    fleet = VAEFleet(vae, n_mod, optax.adam(1e-3))
+    state = fleet.init(jax.random.key(0), jnp.zeros((8, 16, 16, 3)))
+    state = fleet.shard_state(mesh, state)
+    batch_sh = NamedSharding(mesh, P("fleet", "data"))
+    batch = jax.device_put(
+        jax.random.uniform(jax.random.key(1), (n_mod, 8, 16, 16, 3)), batch_sh)
+    with mesh:
+        step = jax.jit(fleet.train_step)
+        new_state, metrics = step(state, batch, jax.random.key(2))
+        jax.block_until_ready(new_state)
+    assert np.isfinite(np.array(metrics["total"])).all()
+
+
+def test_data_parallel_jit_equivalence():
+    """DP-sharded VAE step == single-device step (same data, same key)."""
+    from score_based_multimodal_autoencoder_tpu.train import (
+        create_train_state, make_vae_train_step)
+
+    vae = _tiny_vae()
+    x = jax.random.uniform(jax.random.key(0), (16, 16, 16, 3))
+    variables = vae.init(jax.random.key(1), x, key=jax.random.key(2), train=True)
+    tx = optax.sgd(1e-2)
+    step = make_vae_train_step(vae, beta=0.5)
+
+    state_a = create_train_state(vae, variables, tx)
+    out_a, m_a = jax.jit(step)(state_a, x, jax.random.key(3))
+
+    mesh = make_mesh(fleet_size=1)
+    state_b = replicate(mesh, create_train_state(vae, variables, tx))
+    xb = shard_batch(mesh, x)
+    with mesh:
+        dp_step = data_parallel_jit(step, mesh, donate_state=False)
+        out_b, m_b = dp_step(state_b, xb, jax.random.key(3))
+    np.testing.assert_allclose(float(m_a["total"]), float(m_b["total"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(out_a.params)[0]
+    b = jax.tree_util.tree_leaves(out_b.params)[0]
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-6)

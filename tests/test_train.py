@@ -1,0 +1,96 @@
+"""Training-step tests: VAE step reduces loss, score step runs, EMA, ckpt."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from score_based_multimodal_autoencoder_tpu.diffusion import VPSDE
+from score_based_multimodal_autoencoder_tpu.models import ResVAE
+from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+from score_based_multimodal_autoencoder_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    ema_update,
+    make_score_train_step,
+    make_vae_train_step,
+    make_vae_eval_step,
+)
+
+
+def _tiny_vae():
+    return ResVAE(
+        enc_channel_list=((8, 8, 8, 2), (8, 16, 16, 2)),
+        dec_channel_list=((16, 8, 8, 2), (8, 8, 8, 2)),
+        size_in=16, size_z=16, img_ch=3, variant="poly",
+    )
+
+
+def test_vae_train_step_reduces_loss():
+    vae = _tiny_vae()
+    x = jax.random.uniform(jax.random.key(0), (16, 16, 16, 3))
+    variables = vae.init(jax.random.key(1), x, key=jax.random.key(2), train=True)
+    state = create_train_state(vae, variables, optax.adam(1e-3))
+    step = jax.jit(make_vae_train_step(vae, beta=0.5))
+    losses = []
+    key = jax.random.key(3)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, x, sub)
+        losses.append(float(metrics["total"]))
+    assert losses[-1] < losses[0]
+
+
+def test_vae_eval_step_runs():
+    vae = _tiny_vae()
+    x = jax.random.uniform(jax.random.key(0), (4, 16, 16, 3))
+    variables = vae.init(jax.random.key(1), x, key=jax.random.key(2), train=True)
+    state = create_train_state(vae, variables, optax.adam(1e-3))
+    metrics = jax.jit(make_vae_eval_step(vae))(state, x, jax.random.key(4))
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_score_train_step_reduces_loss():
+    model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+    sde = VPSDE(N=100)
+    grid = jax.random.normal(jax.random.key(0), (32, 4, 4, 2))
+    variables = model.init(jax.random.key(1), grid, jnp.full((32,), 0.5))
+    state = create_train_state(model, variables, optax.adam(2e-3), with_ema=True)
+    step = jax.jit(make_score_train_step(
+        model, sde, likelihood_weighting=False, ema_decay=0.99))
+    key = jax.random.key(2)
+    first = None
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, grid, sub)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    # EMA params must differ from raw params but stay close.
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.abs(e - p).max()), state.ema_params, state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_ema_update_rule():
+    ema = {"w": jnp.ones((2,))}
+    new = {"w": jnp.zeros((2,))}
+    out = ema_update(ema, new, decay=0.9)
+    np.testing.assert_allclose(np.array(out["w"]), 0.9)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    vae = _tiny_vae()
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = vae.init(jax.random.key(0), x, key=jax.random.key(1), train=True)
+    state = create_train_state(vae, variables, optax.adam(1e-3))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_last(state)
+    assert mgr.save_best(state, 1.0)
+    assert not mgr.save_best(state, 2.0)  # worse metric -> no save
+    mgr.wait()
+    restored = mgr.restore(state, "last")
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.array(a), np.array(b))
