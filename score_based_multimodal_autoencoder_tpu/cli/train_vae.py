@@ -1,0 +1,71 @@
+"""Stage-1 CLI: train the per-modality VAE fleet.
+
+TPU-native replacement for the reference's per-modality training processes
+(/root/reference/train_polyupd.py, /root/reference/train_poly.sh:5-14): ALL
+modalities train simultaneously as one vmapped program.
+
+    python -m score_based_multimodal_autoencoder_tpu.cli.train_vae \
+        --dataset polymnist --data-root ./data/Upd10MMNIST --beta 0.5
+
+Use --synthetic for the bundled synthetic fixture (no dataset archive).
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="polymnist",
+                   choices=["polymnist", "celeba_image", "celeba_mask", "celeba_attr"])
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-n", type=int, default=512)
+    p.add_argument("--n-mod", type=int, default=10)
+    p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--beta", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet")
+    args = p.parse_args()
+
+    from ..train.configs import VAEConfig
+    from ..train.trainer import train_vae_fleet
+
+    cfg = {
+        "polymnist": VAEConfig.polymnist,
+        "celeba_image": VAEConfig.celeba_image,
+        "celeba_mask": VAEConfig.celeba_mask,
+        "celeba_attr": VAEConfig.celeba_attr,
+    }[args.dataset](size_z=args.size_z, beta=args.beta)
+    model = cfg.build_model()
+
+    if args.dataset != "polymnist":
+        raise SystemExit(
+            "CelebA fleet training lands with the CelebA pipeline CLI; "
+            "use the python API (train.trainer) meanwhile.")
+
+    if args.synthetic:
+        from ..data import synthetic_polymnist
+
+        train = synthetic_polymnist(args.synthetic_n, args.n_mod, 32, args.seed)
+        val = synthetic_polymnist(max(64, args.synthetic_n // 8), args.n_mod, 32,
+                                  args.seed + 1)
+        px_train, px_val = train.images, val.images
+    else:
+        from ..data import load_polymnist
+
+        px_train = load_polymnist(args.data_root, "train").images
+        px_val = load_polymnist(args.data_root, "val").images
+
+    train_vae_fleet(
+        model, px_train, px_val, beta=args.beta, lr=args.lr,
+        batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
+        ckpt_dir=args.ckpt_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Configuration tree with named presets for every shipped reference config.
+
+The reference scatters ~60 argparse flags per script with architecture
+channel lists as in-code literals (SURVEY.md §5). Here each pipeline stage
+is a dataclass; presets reproduce the exact shipped defaults with file:line
+citations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class VAEConfig:
+    preset: str = "polymnist"
+    size_z: int = 64
+    beta: float = 0.5
+    lr: float = 1e-3
+    batch_size: int = 256
+    epochs: int = 200
+
+    @classmethod
+    def polymnist(cls, size_z=64, beta=0.5):
+        # train_polyupd.py:249-266 defaults; train_poly.sh uses beta=0.5.
+        return cls("polymnist", size_z, beta, lr=1e-3, batch_size=256, epochs=200)
+
+    @classmethod
+    def celeba_image(cls, size_z=256, beta=1.0):
+        # train_celeba_res_hq.py flags (size 128, z 256).
+        return cls("celeba_image", size_z, beta, lr=1e-3, batch_size=64, epochs=300)
+
+    @classmethod
+    def celeba_mask(cls, size_z=256, beta=1.0):
+        return cls("celeba_mask", size_z, beta, lr=1e-3, batch_size=64, epochs=300)
+
+    @classmethod
+    def celeba_attr(cls, size_z=256, beta=1.0):
+        # train_celeba_attr_hq.py (18 visible attrs, MLP VAE).
+        return cls("celeba_attr", size_z, beta, lr=1e-3, batch_size=256, epochs=300)
+
+    def build_model(self, dtype=None):
+        import jax.numpy as jnp
+
+        from ..models.vae import (
+            AttributeVAE,
+            celeba_image_vae,
+            celeba_mask_vae,
+            polymnist_vae,
+        )
+
+        dtype = dtype or jnp.float32
+        if self.preset == "polymnist":
+            return polymnist_vae(self.size_z, dtype)
+        if self.preset == "celeba_image":
+            return celeba_image_vae(self.size_z, dtype)
+        if self.preset == "celeba_mask":
+            return celeba_mask_vae(self.size_z, dtype)
+        if self.preset == "celeba_attr":
+            return AttributeVAE(size_z=self.size_z, att_size=18, dtype=dtype)
+        raise ValueError(self.preset)
+
+
+@dataclass
+class ScoreConfig:
+    preset: str = "polymnist"
+    dim: int = 128
+    channels: int = 10
+    dim_mults: Tuple[int, ...] = (1, 2, 2, 2)
+    latent_hw: int = 8
+    sde_type: str = "vpsde"
+    beta_0: float = 0.1
+    beta_1: float = 20.0
+    n_steps: int = 1000
+    sample_n: int = 100
+    likelihood_weighting: bool = True
+    importance_sampling: bool = False
+    noise_obs: bool = False
+    pc: bool = False
+    corrector_steps: int = 1
+    target_snr: float = 0.16
+    lr: float = 1e-4
+    batch_size: int = 256
+    epochs: int = 3000
+
+    @classmethod
+    def polymnist(cls, **kw):
+        # Unet(dim=128, channels=10, (1,2,2,2)) on 8x8 latents
+        # (train_poly_unet_cont.py:567-572); N=100 sampling steps.
+        defaults = dict(preset="polymnist", dim=128, channels=10,
+                        dim_mults=(1, 2, 2, 2), latent_hw=8, sample_n=100)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def celebhq(cls, **kw):
+        # Unet(dim=256, channels=3, (1,2,2,2,2)) on 16x16 latents
+        # (train_lat_celebhq_unet_cont2.py:470-472); N=1000 sampling steps.
+        defaults = dict(preset="celebhq", dim=256, channels=3,
+                        dim_mults=(1, 2, 2, 2, 2), latent_hw=16, sample_n=1000)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    def build_model(self, dtype=None):
+        import jax.numpy as jnp
+
+        from ..nn.unet import LatentUNet
+
+        return LatentUNet(dim=self.dim, channels=self.channels,
+                          dim_mults=tuple(self.dim_mults),
+                          dtype=dtype or jnp.float32)
+
+    def build_sde(self, sample: bool = False):
+        from ..diffusion.sde import get_sde
+
+        n = self.sample_n if sample else self.n_steps
+        return get_sde(self.sde_type, self.beta_0, self.beta_1, n)

@@ -1,0 +1,147 @@
+"""Epoch-loop trainers for both SBMAE stages.
+
+One trainer drives every stage (the reference re-wires its layers by hand
+in each of ~20 scripts, SURVEY.md §1): stage-1 trains the whole per-modality
+VAE fleet in one vmapped program; stage-2 encodes with the frozen fleet and
+fits the latent score UNet by DSM. Per-epoch wall-clock is printed for
+parity with the reference's TRAINING/VALIDATION TIME TAKEN logs
+(/root/reference/train_polyupd.py:98-101).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loader import BatchIterator, to_float01
+from ..diffusion.losses import dsm_loss
+from ..parallel.fleet import VAEFleet
+from .checkpoints import CheckpointManager
+from .lr import ReduceLROnPlateau, adam_with_mutable_lr
+
+
+def _log(msg):
+    print(msg, flush=True)
+
+
+def train_vae_fleet(
+    vae_model,
+    pixels_train: np.ndarray,  # (n_mod, N, H, W, C) uint8 or float
+    pixels_val: Optional[np.ndarray],
+    *,
+    beta: float,
+    lr: float,
+    batch_size: int,
+    epochs: int,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    n_mod = pixels_train.shape[0]
+    tx = adam_with_mutable_lr(lr)
+    fleet = VAEFleet(vae_model, n_mod, tx, beta=beta)
+    key = jax.random.key(seed)
+    key, init_key = jax.random.split(key)
+    state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
+    step = jax.jit(fleet.train_step)
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    n = pixels_train.shape[1]
+    train_iter = BatchIterator(
+        np.arange(n), batch_size, seed=seed,
+        transform=None,
+    )
+    for epoch in range(epochs):
+        t0 = time.time()
+        totals = []
+        for idx in train_iter.epoch():
+            batch = jnp.asarray(to_float01(pixels_train[:, np.asarray(idx)]))
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            totals.append(metrics["total"])
+        train_loss = float(jnp.stack(totals).mean())
+        _log(f"epoch {epoch}: train={train_loss:.4f} "
+             f"({time.time() - t0:.1f}s)")
+
+        if pixels_val is not None:
+            val_batch = jnp.asarray(to_float01(pixels_val[:, :batch_size]))
+            key, sub = jax.random.split(key)
+            _, val_metrics = step(state, val_batch, sub)  # proxy val loss
+            val_loss = float(val_metrics["total"].mean())
+            _log(f"epoch {epoch}: val={val_loss:.4f}")
+            if mgr:
+                mgr.save_best(state, val_loss)
+        if mgr:
+            mgr.save_last(state)
+    if mgr:
+        mgr.wait()
+    return {"fleet": fleet, "state": state}
+
+
+def train_score_model(
+    score_model,
+    sde,
+    fleet: VAEFleet,
+    fleet_state,
+    pixels_train: np.ndarray,
+    latent_hw: int,
+    *,
+    lr: float,
+    batch_size: int,
+    epochs: int,
+    likelihood_weighting: bool = True,
+    importance_sampling: bool = False,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+    ema_decay: Optional[float] = None,
+) -> Dict[str, Any]:
+    key = jax.random.key(seed + 100)
+    sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
+    grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
+    key, init_key = jax.random.split(key)
+    params = score_model.init(
+        init_key, grid0, jnp.full((grid0.shape[0],), 0.5))["params"]
+    tx = adam_with_mutable_lr(lr)
+    opt_state = tx.init(params)
+    ema = params if ema_decay else None
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    @jax.jit
+    def step(params, opt_state, ema, pixels, key):
+        latents = fleet.encode(fleet_state, pixels, latent_hw)
+
+        def loss_fn(p):
+            return dsm_loss(
+                key, lambda x, t: score_model.apply({"params": p}, x, t),
+                sde, latents, likelihood_weighting=likelihood_weighting,
+                importance_sampling=importance_sampling)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
+        return params, opt_state, ema, loss
+
+    n = pixels_train.shape[1]
+    train_iter = BatchIterator(np.arange(n), batch_size, seed=seed)
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for idx in train_iter.epoch():
+            batch = jnp.asarray(to_float01(pixels_train[:, np.asarray(idx)]))
+            key, sub = jax.random.split(key)
+            params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
+            losses.append(float(loss))
+        _log(f"epoch {epoch}: dsm={np.mean(losses):.5f} ({time.time()-t0:.1f}s)")
+        if mgr:
+            mgr.save_last({"params": params, "ema": ema})
+            mgr.save_best({"params": params, "ema": ema}, float(np.mean(losses)))
+    if mgr:
+        mgr.wait()
+    return {"params": params, "ema": ema}
