@@ -1,0 +1,113 @@
+"""Heterogeneous-modality pipeline: CelebAMask-HQ image / mask / attributes.
+
+Unlike the PolyMNIST fleet (10 identical VAEs -> parallel.fleet), CelebA's
+three modalities use three DIFFERENT autoencoders (conv image VAE, conv
+mask VAE, MLP attribute VAE; /root/reference/train_lat_celebhq_unet_cont2.py:
+426-465). This pipeline stacks their size-z latents into the (B, hw, hw, 3)
+grid (channel order: 0=image, 1=mask, 2=attributes, matching ``mods='012'``
+at train_lat_celebhq_unet_cont2.py:263) and drives the same channel-clamped
+conditional sampler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .diffusion.samplers import conditional_sampler, unconditional_sampler
+
+
+@dataclass
+class Modality:
+    name: str
+    model: Any
+    variables: Any
+
+    def encode(self, x):
+        mu, _ = self.model.apply(self.variables, x, method=self.model.encoder)
+        return mu
+
+    def decode(self, z):
+        return self.model.apply(self.variables, z, method=self.model.decoder)
+
+
+@dataclass
+class HeterogeneousPipeline:
+    modalities: List[Modality]
+    score_model: Any
+    score_params: Any
+    sde: Any
+    latent_hw: int
+    sampler_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        self._jit_cache: Dict[Any, Any] = {}
+
+    @property
+    def n_mod(self):
+        return len(self.modalities)
+
+    def encode_grid(self, inputs: Sequence):
+        """Per-modality inputs -> (B, hw, hw, n_mod) latent grid."""
+        chans = []
+        for mod, x in zip(self.modalities, inputs):
+            z = mod.encode(x)
+            chans.append(z.reshape(z.shape[0], self.latent_hw, self.latent_hw))
+        return jnp.stack(chans, axis=-1)
+
+    def decode_grid(self, grid):
+        B = grid.shape[0]
+        return [
+            mod.decode(grid[..., i].reshape(B, -1))
+            for i, mod in enumerate(self.modalities)
+        ]
+
+    def sample_conditional(self, key, inputs, observed_mask, **overrides):
+        """Channel-clamped conditional generation over heterogeneous
+        modalities (calc_perf, train_lat_celebhq_unet_cont2.py:240-320).
+
+        Returns the per-modality decoded outputs (observed modalities are
+        decoded reconstructions of their clean latents, like the reference's
+        ``outs[mod] = decoder(z[mod])``).
+        """
+        kw = {**self.sampler_kwargs, **overrides}
+        mask = tuple(bool(b) for b in observed_mask)
+        cache_key = ("cond", mask, tuple(sorted(kw.items())))
+        if cache_key not in self._jit_cache:
+            mask_arr = jnp.array(mask)
+
+            @jax.jit
+            def run(key, inputs):
+                grid = self.encode_grid(inputs)
+
+                def score_fn(x, t):
+                    return self.score_model.apply(
+                        {"params": self.score_params}, x, t)
+
+                z = conditional_sampler(
+                    key, score_fn, self.sde, grid, mask_arr, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key, tuple(inputs)))
+
+    def sample_unconditional(self, key, amount: int, **overrides):
+        kw = {**self.sampler_kwargs, **overrides}
+        cache_key = ("uncond", amount, tuple(sorted(kw.items())))
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def run(key):
+                def score_fn(x, t):
+                    return self.score_model.apply(
+                        {"params": self.score_params}, x, t)
+
+                shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
+                z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key))
