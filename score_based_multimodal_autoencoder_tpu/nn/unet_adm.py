@@ -36,13 +36,44 @@ def adm_timestep_embedding(timesteps, dim, max_period=10000):
     return emb
 
 
-def _group_norm(x, name, dtype):
+def _n_groups(channels):
     # ADM's GroupNorm32; capped at the channel count so small smoke configs
     # (channels < 32) remain valid - shipped configs use >= 128 channels.
-    groups = min(32, x.shape[-1])
-    while x.shape[-1] % groups:
+    groups = min(32, channels)
+    while channels % groups:
         groups -= 1
-    return nn.GroupNorm(num_groups=groups, dtype=dtype, name=name)(x)
+    return groups
+
+
+def _group_norm(x, name, dtype):
+    return nn.GroupNorm(num_groups=_n_groups(x.shape[-1]), dtype=dtype,
+                        name=name)(x)
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm+SiLU through the Pallas kernel (ops/group_norm.py); the
+    kernel runs natively on TPU and interpreted elsewhere. Param layout
+    matches nn.GroupNorm (scale/bias) for checkpoint compatibility."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import fused_group_norm_act
+
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,))
+        beta = self.param("bias", nn.initializers.zeros, (C,))
+        interpret = jax.default_backend() != "tpu"
+        return fused_group_norm_act(
+            x, gamma.astype(self.dtype), beta.astype(self.dtype),
+            _n_groups(C), 1e-5, "silu", interpret)
+
+
+def _group_norm_silu(x, name, dtype, fused):
+    if fused:
+        return FusedGroupNormSiLU(dtype=dtype, name=name)(x)
+    return nn.silu(_group_norm(x, name, dtype))
 
 
 _zero_init = nn.initializers.zeros
@@ -57,12 +88,12 @@ class ADMResBlock(nn.Module):
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     use_conv_skip: bool = False
+    fused_norms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
-        h = _group_norm(x, "in_norm", self.dtype)
-        h = nn.silu(h)
+        h = _group_norm_silu(x, "in_norm", self.dtype, self.fused_norms)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="in_conv")(h)
         emb_out = nn.Dense(
@@ -75,8 +106,7 @@ class ADMResBlock(nn.Module):
             h = nn.silu(h)
         else:
             h = h + emb_out[:, None, None, :]
-            h = _group_norm(h, "out_norm", self.dtype)
-            h = nn.silu(h)
+            h = _group_norm_silu(h, "out_norm", self.dtype, self.fused_norms)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=_zero_init, bias_init=_zero_init,
@@ -132,6 +162,7 @@ class ADMUNet(nn.Module):
     use_z: bool = False
     z_dim: Optional[int] = None
     use_checkpoint: bool = False
+    fused_norms: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -173,6 +204,7 @@ class ADMUNet(nn.Module):
                     out_channels=ch, emb_channels=time_dim,
                     dropout=self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
+                      fused_norms=self.fused_norms,
                     dtype=self.dtype, name=f"down{level}_{i}_res",
                 )(h, emb, deterministic)
                 if ds in self.attention_resolutions:
@@ -193,11 +225,13 @@ class ADMUNet(nn.Module):
         h = res_block(out_channels=ch, emb_channels=time_dim,
                       dropout=self.dropout,
                       use_scale_shift_norm=self.use_scale_shift_norm,
+                      fused_norms=self.fused_norms,
                       dtype=self.dtype, name="mid_res1")(h, emb, deterministic)
         h = ADMAttentionBlock(self.num_heads, self.dtype, name="mid_attn")(h)
         h = res_block(out_channels=ch, emb_channels=time_dim,
                       dropout=self.dropout,
                       use_scale_shift_norm=self.use_scale_shift_norm,
+                      fused_norms=self.fused_norms,
                       dtype=self.dtype, name="mid_res2")(h, emb, deterministic)
 
         # Up path.
@@ -209,6 +243,7 @@ class ADMUNet(nn.Module):
                     out_channels=ch, emb_channels=time_dim,
                     dropout=self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
+                      fused_norms=self.fused_norms,
                     dtype=self.dtype, name=f"up{level}_{i}_res",
                 )(h, emb, deterministic)
                 if ds in self.attention_resolutions:
