@@ -1,0 +1,115 @@
+"""Evaluation CLI: the PolyMNIST FID/coherence protocol suite.
+
+Replacement for /root/reference/fid_upd10.py's entry: conditional,
+unconditional, and incremental protocols over a trained two-stage model,
+with device-resident FID (optionally the ported Inception weights).
+
+    python -m score_based_multimodal_autoencoder_tpu.cli.evaluate \
+        --vae-ckpt ./checkpoints/vae_fleet --score-ckpt ./checkpoints/score \
+        --predicted 9 --synthetic
+"""
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vae-ckpt", default="./checkpoints/vae_fleet")
+    p.add_argument("--score-ckpt", default="./checkpoints/score")
+    p.add_argument("--n-mod", type=int, default=10)
+    p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--predicted", default="",
+                   help="predicted modality indices, e.g. '9'; empty = unconditional")
+    p.add_argument("--incremental", action="store_true")
+    p.add_argument("--target-mod", type=int, default=9)
+    p.add_argument("--fid-n-times", type=int, default=1)
+    p.add_argument("--amount", type=int, default=256)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--inception-weights", default=None,
+                   help="path to pt_inception-2015-12-05-6726825d.pth")
+    p.add_argument("--clf-ckpt", default=None,
+                   help="PolyMNIST classifier checkpoint for coherence")
+    p.add_argument("--noise-obs", action="store_true")
+    p.add_argument("--pc", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import to_float01
+    from ..eval.inception import make_inception_feature_fn
+    from ..eval.protocols import (
+        conditional_protocol,
+        incremental_protocol,
+        unconditional_protocol,
+    )
+    from ..models.classifiers import PolyMNISTClassifier
+    from ..parallel.fleet import VAEFleet
+    from ..pipeline import SBMAEPipeline
+    from ..train.checkpoints import CheckpointManager
+    from ..train.configs import ScoreConfig, VAEConfig
+    from ..train.lr import adam_with_mutable_lr
+
+    if args.synthetic:
+        from ..data import synthetic_polymnist
+
+        ds = synthetic_polymnist(args.amount, args.n_mod, 32, args.seed + 7)
+    else:
+        from ..data import load_polymnist
+
+        ds = load_polymnist(args.data_root, "test")
+    pixels = jnp.asarray(to_float01(ds.images[:, : args.amount]))
+    labels = jnp.asarray(ds.labels[: args.amount])
+
+    vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
+    fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
+    abstract = fleet.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+    fleet_state = CheckpointManager(args.vae_ckpt).restore(abstract, "last")
+
+    score_cfg = ScoreConfig.polymnist(channels=args.n_mod)
+    model = score_cfg.build_model()
+    grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
+    abstract_score = {
+        "params": model.init(jax.random.key(0), grid0, jnp.ones((1,)))["params"],
+        "ema": None,
+    }
+    score = CheckpointManager(args.score_ckpt).restore(abstract_score, "last")
+
+    pipeline = SBMAEPipeline(
+        fleet=fleet, fleet_state=fleet_state, score_model=model,
+        score_params=score["params"], sde=score_cfg.build_sde(sample=True),
+        latent_hw=score_cfg.latent_hw,
+        sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+
+    feature_fn = make_inception_feature_fn(args.inception_weights)
+
+    clf_apply = None
+    if args.clf_ckpt:
+        clf = PolyMNISTClassifier()
+        clf_abstract = clf.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
+        clf_vars = CheckpointManager(args.clf_ckpt).restore(clf_abstract, "best")
+        clf_apply = lambda x: clf.apply(clf_vars, x)
+
+    key = jax.random.key(args.seed)
+    if args.incremental:
+        res = incremental_protocol(
+            pipeline, key, pixels, labels, args.target_mod,
+            clf_apply=clf_apply, feature_fn=feature_fn,
+            n_repeats=args.fid_n_times)
+    elif args.predicted:
+        predicted = [int(c) for c in args.predicted]
+        res = conditional_protocol(
+            pipeline, key, pixels, labels, predicted, clf_apply=clf_apply,
+            feature_fn=feature_fn, n_repeats=args.fid_n_times)
+    else:
+        res = unconditional_protocol(
+            pipeline, key, pixels, clf_apply=clf_apply, feature_fn=feature_fn,
+            n_repeats=args.fid_n_times)
+    print(json.dumps(res, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()
