@@ -1,0 +1,69 @@
+"""HVAE + cross-attention UNet variant tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_based_multimodal_autoencoder_tpu.models.hvae import HVAE, gaussian_kl
+from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+    CrossAttentionUNet,
+    MaskedTokenAttention,
+    SigmaNormalizedUNet,
+)
+
+
+def test_gaussian_kl_zero_for_identical():
+    mu = jnp.ones((4, 8))
+    lv = jnp.zeros((4, 8))
+    assert abs(float(gaussian_kl(mu, lv, mu, lv))) < 1e-6
+    assert float(gaussian_kl(mu + 1, lv, mu, lv)) > 0
+
+
+def test_hvae_forward_train_and_eval():
+    # Reference demo config scaled down (h_vae_model.py:335-340 comment).
+    enc = ((8, 8, 8, 2), (8, 16, 16, 2))
+    dec = ((16, 16, 16, 2), (16, 16, 8, 2))
+    model = HVAE(enc, dec, res_inp_list=(0, 1), size_in=16, size_z=8)
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+    variables = model.init(jax.random.key(1), x, jax.random.key(2), train=True)
+    out, mu, logvar, kls = model.apply(variables, x, jax.random.key(3), True)
+    assert out.shape == x.shape
+    assert kls.shape == (2,)  # one KL per decoder level
+    assert np.isfinite(np.array(kls)).all()
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    out_eval, mu2, _ = model.apply(variables, x, jax.random.key(4), False)
+    assert out_eval.shape == x.shape
+
+
+def test_masked_attention_excludes_self():
+    """With mask 1-I, a token's output must not depend on its own value."""
+    att = MaskedTokenAttention(embed_dim=8, num_heads=2)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 8))
+    params = att.init(jax.random.key(1), x)
+    mask = 1.0 - jnp.eye(3)
+    out_a = att.apply(params, x, mask)
+    x_mod = x.at[:, 0].set(x[:, 0] + 10.0)  # perturb token 0 only
+    out_b = att.apply(params, x_mod, mask)
+    # Token 0's own output unchanged (it cannot attend to itself; its q is
+    # built from its value though - so compare OTHER tokens' keys only).
+    # tokens 1,2 CAN attend to token 0 -> they change:
+    assert np.abs(np.array(out_a[:, 1:] - out_b[:, 1:])).max() > 1e-3
+
+
+def test_cross_attention_unet_shapes():
+    net = CrossAttentionUNet(n_mod=3, size_z=16, dim=12, dim_mults=(1, 2))
+    x = jnp.zeros((2, 4, 4, 3))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(0), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 4, 4, 3)
+
+
+def test_sigma_normalized_unet():
+    net = SigmaNormalizedUNet(dim=12, channels=2, dim_mults=(1, 2))
+    x = jnp.ones((2, 4, 4, 2))
+    sigma = jnp.array([1.0, 2.0])
+    params = net.init(jax.random.key(0), x, sigma)
+    out = net.apply(params, x, sigma)
+    out2 = net.apply(params, x, sigma * 2)
+    np.testing.assert_allclose(np.array(out), np.array(out2) * 2, rtol=1e-5)
