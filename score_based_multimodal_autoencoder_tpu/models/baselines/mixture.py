@@ -104,6 +104,28 @@ def stratified_select(key, zs, batch_size: int, sample_len: int):
     return jnp.take_along_axis(zs, owner[None, :, None], axis=0)[0]
 
 
+def mopoe_cond_select(rep_key, sel_key, mus, logvars, present, batch_size,
+                      sample_len):
+    """MoPoE conditional z draw: powerset of the PRESENT subset, PoE per
+    subset, block-stratified selection (mopoe_model.py:364-418; same logic
+    in the CelebA variant, mopoe_model.py:791-828)."""
+    n_mod = mus.shape[0]
+    mask = jnp.asarray(powerset_masks(n_mod))
+    within = (mask * (1 - present)[None]).sum(axis=1) == 0
+    poe_mu, poe_logvar = poe(mus, logvars, mask, add_prior="full")
+    zs = reparametrize(rep_key, poe_mu, poe_logvar)
+    S = mask.shape[0]
+    logits = jnp.where(within, 0.0, -jnp.inf)
+    n_within = within.sum()
+    sample_len_eff = jnp.minimum(jnp.minimum(sample_len, n_within), batch_size)
+    choice = jax.random.categorical(
+        sel_key, jnp.broadcast_to(logits, (batch_size, S)), axis=-1)
+    div = jnp.maximum(batch_size // jnp.maximum(sample_len_eff, 1), 1)
+    block_owner = choice[jnp.minimum(
+        jnp.arange(batch_size) // div, jnp.maximum(sample_len_eff - 1, 0))]
+    return jnp.take_along_axis(zs, block_owner[None, :, None], axis=0)[0]
+
+
 class MixtureMultimodalVAE(nn.Module):
     """MoPoE / MMVAE / MVAE / MVTCAE over stacked per-modality ResVAEs.
 
@@ -261,23 +283,9 @@ class MixtureMultimodalVAE(nn.Module):
             owner = idx[block]
             z = jnp.take_along_axis(zs, owner[None, :, None], axis=0)[0]
         elif mix_type == "mopoe":
-            # Powerset of the PRESENT subset, stratified selection.
-            mask = jnp.asarray(powerset_masks(self.n_mod))
-            within = (mask * (1 - present)[None]).sum(axis=1) == 0
-            poe_mu, poe_logvar = poe(mus, logvars, mask, add_prior="full")
-            zs = reparametrize(rep_key, poe_mu, poe_logvar)
-            B = inputs.shape[1]
-            S = mask.shape[0]
-            logits = jnp.where(within, 0.0, -jnp.inf)
-            n_within = within.sum()
-            sample_len_eff = jnp.minimum(jnp.minimum(sample_len, n_within), B)
-            choice = jax.random.categorical(
-                sel_key, jnp.broadcast_to(logits, (B, S)), axis=-1)
-            # Block-stratify rows over min(sample_len, |subsets|) draws.
-            div = jnp.maximum(B // jnp.maximum(sample_len_eff, 1), 1)
-            block_owner = choice[jnp.minimum(
-                jnp.arange(B) // div, jnp.maximum(sample_len_eff - 1, 0))]
-            z = jnp.take_along_axis(zs, block_owner[None, :, None], axis=0)[0]
+            z = mopoe_cond_select(
+                rep_key, sel_key, mus, logvars, present, inputs.shape[1],
+                sample_len)
         else:
             raise ValueError(mix_type)
         return self.decode_all_same_z(z, train)
