@@ -94,6 +94,23 @@ class HeterogeneousPipeline:
             self._jit_cache[cache_key] = run
         return list(self._jit_cache[cache_key](key, tuple(inputs)))
 
+    def refine_images(self, key, images, refiner_model, refiner_params,
+                      schedule):
+        """DiffuseVAE sharpening of generated/reconstructed images
+        (/root/reference/eval_lat_celeba_hq_all.py:72-122,
+        plt_celebhq_all.py:222-343): run the DDPM refiner conditioned on the
+        [-1,1]-rescaled VAE output, return refined images in [0, 1]."""
+        from .diffusion.ddpm import ddpm_refiner_sample
+
+        cond = 2.0 * jnp.asarray(images) - 1.0
+
+        def denoise_fn(x_and_cond, t):
+            return refiner_model.apply({"params": refiner_params},
+                                       x_and_cond, t)
+
+        out = ddpm_refiner_sample(key, denoise_fn, schedule, cond, cond.shape)
+        return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
     def sample_unconditional(self, key, amount: int, **overrides):
         kw = {**self.sampler_kwargs, **overrides}
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
