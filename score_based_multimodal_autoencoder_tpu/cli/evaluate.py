@@ -66,17 +66,12 @@ def main():
 
     vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
-    abstract = fleet.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
-    fleet_state = CheckpointManager(args.vae_ckpt).restore(abstract, "last")
+    fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")
 
     score_cfg = ScoreConfig.polymnist(channels=args.n_mod)
     model = score_cfg.build_model()
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
-    abstract_score = {
-        "params": model.init(jax.random.key(0), grid0, jnp.ones((1,)))["params"],
-        "ema": None,
-    }
-    score = CheckpointManager(args.score_ckpt).restore(abstract_score, "last")
+    score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
     pipeline = SBMAEPipeline(
         fleet=fleet, fleet_state=fleet_state, score_model=model,
@@ -89,8 +84,7 @@ def main():
     clf_apply = None
     if args.clf_ckpt:
         clf = PolyMNISTClassifier()
-        clf_abstract = clf.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
-        clf_vars = CheckpointManager(args.clf_ckpt).restore(clf_abstract, "best")
+        clf_vars = CheckpointManager(args.clf_ckpt).restore_raw("best")
         clf_apply = lambda x: clf.apply(clf_vars, x)
 
     key = jax.random.key(args.seed)

@@ -53,10 +53,9 @@ def main():
 
     vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
-    abstract = fleet.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
     mgr_vae = CheckpointManager(args.vae_ckpt)
-    fleet_state = mgr_vae.restore(
-        abstract, "best" if mgr_vae.exists("best") else "last")
+    fleet_state = mgr_vae.restore_raw(
+        "best" if mgr_vae.exists("best") else "last")
 
     sde = VPSDE()
     ebm = PairwiseCoherenceEBM(size_z=args.size_z, n_mod=args.n_mod, n_class=1)

@@ -70,9 +70,8 @@ def main():
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     import jax.numpy as jnp
 
-    abstract = fleet.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
     mgr = CheckpointManager(args.vae_ckpt)
-    fleet_state = mgr.restore(abstract, "best" if mgr.exists("best") else "last")
+    fleet_state = mgr.restore_raw("best" if mgr.exists("best") else "last")
 
     model = score_cfg.build_model()
     sde = score_cfg.build_sde()

@@ -25,6 +25,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` wrapper.
+
+    On TPU pods the arguments auto-detect from the environment; on CPU/GPU
+    fleets pass them explicitly. After this, ``jax.devices()`` spans all
+    hosts and the same (data, fleet) mesh code runs with DCN crossing only
+    the data axis (SURVEY.md §2.8 plan).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     fleet_size: int = 1,

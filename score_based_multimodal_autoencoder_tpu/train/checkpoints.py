@@ -45,6 +45,12 @@ class CheckpointManager:
         """Restore into the structure of ``target`` (an abstract state)."""
         return self._ckpt.restore(self._dir(which), target=target)
 
+    def restore_raw(self, which: str = "last") -> Any:
+        """Target-free restore: returns the saved pytree as nested dicts of
+        arrays. Use for inference-time loads where optimizer-state structure
+        does not matter."""
+        return self._ckpt.restore(self._dir(which))
+
     def exists(self, which: str = "last") -> bool:
         return os.path.isdir(self._dir(which))
 

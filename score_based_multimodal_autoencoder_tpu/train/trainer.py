@@ -98,6 +98,9 @@ def train_score_model(
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
     ema_decay: Optional[float] = None,
+    sample_every: Optional[int] = None,
+    sample_dir: Optional[str] = None,
+    sample_sde=None,
 ) -> Dict[str, Any]:
     key = jax.random.key(seed + 100)
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
@@ -128,6 +131,14 @@ def train_score_model(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
         return params, opt_state, ema, loss
 
+    pipeline = None
+    if sample_every:
+        from ..pipeline import SBMAEPipeline
+
+        pipeline = SBMAEPipeline(
+            fleet=fleet, fleet_state=fleet_state, score_model=score_model,
+            score_params=params, sde=sample_sde or sde, latent_hw=latent_hw)
+
     n = pixels_train.shape[1]
     train_iter = BatchIterator(np.arange(n), batch_size, seed=seed)
     for epoch in range(epochs):
@@ -139,9 +150,28 @@ def train_score_model(
             params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
             losses.append(float(loss))
         _log(f"epoch {epoch}: dsm={np.mean(losses):.5f} ({time.time()-t0:.1f}s)")
+
+        # Periodic qualitative grids (the reference's every-10-epoch
+        # unconditional + conditional plots, train_poly_unet_cont.py:300-396).
+        if pipeline is not None and (epoch + 1) % sample_every == 0:
+            from ..utils.images import save_modality_grid
+
+            pipeline.score_params = params
+            key, s1, s2 = jax.random.split(key, 3)
+            unc = pipeline.sample_unconditional(s1, 8)
+            save_modality_grid(np.asarray(unc),
+                               f"{sample_dir or '.'}/uncond_ep{epoch}.png")
+            cond_pixels = jnp.asarray(to_float01(pixels_train[:, :8]))
+            cond = pipeline.sample_conditional(
+                s2, cond_pixels, list(range(1, fleet.n_mod)))
+            save_modality_grid(np.asarray(cond),
+                               f"{sample_dir or '.'}/cond_given0_ep{epoch}.png")
+
         if mgr:
-            mgr.save_last({"params": params, "ema": ema})
-            mgr.save_best({"params": params, "ema": ema}, float(np.mean(losses)))
+            ckpt = {"params": params, "ema": ema, "epoch": epoch,
+                    "key": jax.random.key_data(key)}
+            mgr.save_last(ckpt)
+            mgr.save_best(ckpt, float(np.mean(losses)))
     if mgr:
         mgr.wait()
     return {"params": params, "ema": ema}
