@@ -33,6 +33,11 @@ def main():
                    help="PolyMNIST classifier checkpoint for coherence")
     p.add_argument("--noise-obs", action="store_true")
     p.add_argument("--pc", action="store_true")
+    p.add_argument("--ebm-ckpt", default=None,
+                   help="pairwise coherence EBM checkpoint for guidance")
+    p.add_argument("--cl-s", default="1.0",
+                   help="comma list of guidance scales to sweep, e.g. "
+                        "'0,1,10,100' (train_poly_unet_cont.py:736-747)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -88,6 +93,36 @@ def main():
         clf_apply = lambda x: clf.apply(clf_vars, x)
 
     key = jax.random.key(args.seed)
+
+    if args.ebm_ckpt and args.predicted:
+        # Guidance-scale sweep over the conditional protocol.
+        from itertools import combinations
+
+        from ..ebm import PairwiseCoherenceEBM, make_pairwise_guidance
+
+        ebm = PairwiseCoherenceEBM(size_z=args.size_z, n_mod=args.n_mod,
+                                   n_class=1)
+        ebm_vars = CheckpointManager(args.ebm_ckpt).restore_raw("best")
+
+        def efn(zf, tt, i, j):
+            return ebm.apply({"params": ebm_vars["params"]}, zf, tt, i, j)
+
+        energy_fns = {(i, j): efn
+                      for i, j in combinations(range(args.n_mod), 2)}
+        predicted = [int(c) for c in args.predicted]
+        observed = [i not in predicted for i in range(args.n_mod)]
+        sweep = {}
+        for cl_s in [float(v) for v in args.cl_s.split(",")]:
+            tr = (make_pairwise_guidance(energy_fns, observed, cl_s)
+                  if cl_s > 0 else None)
+            key, sub = jax.random.split(key)
+            sweep[cl_s] = conditional_protocol(
+                pipeline, sub, pixels, labels, predicted, clf_apply=clf_apply,
+                feature_fn=feature_fn, n_repeats=args.fid_n_times,
+                score_transform=tr)
+        print(json.dumps(sweep, indent=2, default=str))
+        return
+
     if args.incremental:
         res = incremental_protocol(
             pipeline, key, pixels, labels, args.target_mod,

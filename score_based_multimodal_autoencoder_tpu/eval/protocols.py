@@ -37,8 +37,13 @@ def conditional_protocol(
     feature_fn: Optional[Callable] = None,
     n_repeats: int = 1,
     batch_size: int = 256,
+    score_transform: Optional[Callable] = None,
 ) -> Dict[str, Dict[int, float]]:
-    """FID + coherence per predicted modality, given all others."""
+    """FID + coherence per predicted modality, given all others.
+
+    ``score_transform`` enables EBM/classifier guidance inside the sampler
+    (the reference's cl_g/cl_s path, train_poly_unet_cont.py:404-498).
+    """
     pred = sorted(int(i) for i in predicted_mods)
     real_feats = {}
     if feature_fn is not None:
@@ -49,7 +54,8 @@ def conditional_protocol(
     cohs: Dict[int, List[float]] = {m: [] for m in pred}
     for r in range(n_repeats):
         key, sub = jax.random.split(key)
-        out = pipeline.sample_conditional(sub, pixels, pred)
+        out = pipeline.sample_conditional(sub, pixels, pred,
+                                          score_transform=score_transform)
         for m in pred:
             if clf_apply is not None and labels is not None:
                 cohs[m].append(float(coherence_accuracy(clf_apply, out[m], labels)))

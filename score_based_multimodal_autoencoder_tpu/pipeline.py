@@ -79,7 +79,10 @@ class SBMAEPipeline:
         """
         kw = {**self.sampler_kwargs, **overrides}
         pred = tuple(sorted(int(i) for i in predicted_mods))
-        cache_key = ("cond", pred, tuple(sorted(kw.items())), score_transform is not None)
+        # Keyed by transform identity: different guidance closures (e.g. a
+        # cl_s sweep) must not share a compiled program.
+        cache_key = ("cond", pred, tuple(sorted(kw.items())),
+                     id(score_transform) if score_transform else None)
         observed_mask = jnp.array(
             [i not in pred for i in range(self.fleet.n_mod)])
         if cache_key not in self._jit_cache:
