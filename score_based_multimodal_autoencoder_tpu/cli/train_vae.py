@@ -33,7 +33,7 @@ def main():
     args = p.parse_args()
 
     from ..train.configs import VAEConfig
-    from ..train.trainer import train_vae_fleet
+    from ..train.trainer import train_single_vae, train_vae_fleet
 
     cfg = {
         "polymnist": VAEConfig.polymnist,
@@ -44,9 +44,29 @@ def main():
     model = cfg.build_model()
 
     if args.dataset != "polymnist":
-        raise SystemExit(
-            "CelebA fleet training lands with the CelebA pipeline CLI; "
-            "use the python API (train.trainer) meanwhile.")
+        # Heterogeneous CelebA modalities train one at a time
+        # (reference scripts train_celeba_{res,mask,attr}_hq.py).
+        if args.synthetic:
+            from ..data import synthetic_celeba
+
+            tr = synthetic_celeba(args.synthetic_n, size=128, seed=args.seed)
+            va = synthetic_celeba(max(32, args.synthetic_n // 8), size=128,
+                                  seed=args.seed + 1)
+        else:
+            from ..data import load_celeba_hq
+
+            tr = load_celeba_hq(args.data_root, "train")
+            va = load_celeba_hq(args.data_root, "val")
+        field = {"celeba_image": "images", "celeba_mask": "masks"}.get(args.dataset)
+        if field:
+            train_arr, val_arr = getattr(tr, field), getattr(va, field)
+        else:
+            train_arr, val_arr = tr.visible_attrs(), va.visible_attrs()
+        train_single_vae(
+            model, train_arr, val_arr, beta=args.beta, lr=args.lr,
+            batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
+            ckpt_dir=args.ckpt_dir)
+        return
 
     if args.synthetic:
         from ..data import synthetic_polymnist

@@ -82,6 +82,64 @@ def train_vae_fleet(
     return {"fleet": fleet, "state": state}
 
 
+def train_single_vae(
+    model,
+    train_data: np.ndarray,  # (N, ...) pixels/attrs for ONE modality
+    val_data: Optional[np.ndarray],
+    *,
+    beta: float,
+    lr: float,
+    batch_size: int,
+    epochs: int,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """One heterogeneous-modality VAE (the CelebA image/mask/attr trainers,
+    /root/reference/train_celeba_res_hq.py, train_celeba_mask_hq.py,
+    train_celeba_attr_hq.py): best-on-val + last checkpoints, plateau LR."""
+    from .state import create_train_state
+    from .steps import make_vae_eval_step, make_vae_train_step
+
+    key = jax.random.key(seed)
+    key, init_key, noise_key = jax.random.split(key, 3)
+    sample = jnp.asarray(to_float01(train_data[:2]))
+    variables = model.init(init_key, sample, key=noise_key, train=True)
+    tx = adam_with_mutable_lr(lr)
+    state = create_train_state(model, variables, tx)
+    train_step = jax.jit(make_vae_train_step(model, beta))
+    eval_step = jax.jit(make_vae_eval_step(model, beta))
+    scheduler = ReduceLROnPlateau(patience=5)
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    it = BatchIterator(np.arange(train_data.shape[0]), batch_size, seed=seed)
+    for epoch in range(epochs):
+        t0, totals = time.time(), []
+        for idx in it.epoch():
+            batch = jnp.asarray(to_float01(train_data[np.asarray(idx)]))
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+            totals.append(float(metrics["total"]))
+        _log(f"epoch {epoch}: train={np.mean(totals):.4f} "
+             f"({time.time() - t0:.1f}s)")
+        if val_data is not None:
+            vb = jnp.asarray(to_float01(val_data[:batch_size]))
+            key, sub = jax.random.split(key)
+            val = float(eval_step(state, vb, sub)["total"])
+            _log(f"epoch {epoch}: val={val:.4f}")
+            new_opt, lr_now = scheduler.step(state.opt_state, val)
+            state = state.replace(opt_state=new_opt)
+            if mgr:
+                mgr.save_best(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    val)
+        if mgr:
+            mgr.save_last(
+                {"params": state.params, "batch_stats": state.batch_stats})
+    if mgr:
+        mgr.wait()
+    return {"state": state}
+
+
 def train_score_model(
     score_model,
     sde,
