@@ -23,6 +23,9 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-n", type=int, default=512)
     p.add_argument("--n-mod", type=int, default=10)
+    p.add_argument("--vae-type", default="vae", choices=["vae", "ae"],
+                   help="'ae' = regularized deterministic AE track "
+                        "(train_polyupdAE.py)")
     p.add_argument("--size-z", type=int, default=64)
     p.add_argument("--beta", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -84,7 +87,7 @@ def main():
     train_vae_fleet(
         model, px_train, px_val, beta=args.beta, lr=args.lr,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-        ckpt_dir=args.ckpt_dir)
+        ckpt_dir=args.ckpt_dir, loss_type=args.vae_type)
 
 
 if __name__ == "__main__":

@@ -317,6 +317,14 @@ class AttributeAE(nn.Module):
         return self.vae.decoder(self.vae.encoder(x, train)[0], train)
 
 
+def ae_reg_loss(x, x_hat, z, beta: float = 1.0):
+    """Regularized-AE loss: sum-MSE/B + beta * mean ||z||^2
+    (/root/reference/train_polyupdAE.py:31-35). Returns (recon, reg)."""
+    recon = jnp.sum((x_hat - x) ** 2) / x.shape[0]
+    z_norm = jnp.mean(jnp.sum(z**2, axis=-1))
+    return recon, beta * z_norm
+
+
 def vae_loss(x, x_hat, mu, logvar, beta: float = 1.0):
     """Sum-MSE / batch + beta * KL / batch (train_polyupd.py:25-29).
 

@@ -20,18 +20,25 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.vae import vae_loss
+from ..models.vae import ae_reg_loss, vae_loss
 
 
 class VAEFleet:
-    """N identical VAEs (same Flax module) trained/applied in lockstep."""
+    """N identical VAEs (same Flax module) trained/applied in lockstep.
+
+    ``loss_type='vae'`` trains the ELBO (train_polyupd.py:25-29);
+    ``loss_type='ae'`` trains the deterministic regularized-AE objective on
+    the mean latent (train_polyupdAE.py:31-35) - the reference's AE track,
+    whose latents feed the annealed-Langevin samplers.
+    """
 
     def __init__(self, model, n_mod: int, tx: optax.GradientTransformation,
-                 beta: float = 1.0):
+                 beta: float = 1.0, loss_type: str = "vae"):
         self.model = model
         self.n_mod = n_mod
         self.tx = tx
         self.beta = beta
+        self.loss_type = loss_type
 
     # -- state ------------------------------------------------------------
     def init(self, key, sample_x) -> Dict[str, Any]:
@@ -61,11 +68,15 @@ class VAEFleet:
 
         def one(params, batch_stats, opt_state, x, k):
             def loss_fn(p):
+                noise_key = None if self.loss_type == "ae" else k
                 (out, mu, logvar), updates = self.model.apply(
                     {"params": p, "batch_stats": batch_stats},
-                    x, key=k, train=True, mutable=["batch_stats"],
+                    x, key=noise_key, train=True, mutable=["batch_stats"],
                 )
-                recon, kl = vae_loss(x, out, mu, logvar, self.beta)
+                if self.loss_type == "ae":
+                    recon, kl = ae_reg_loss(x, out, mu, self.beta)
+                else:
+                    recon, kl = vae_loss(x, out, mu, logvar, self.beta)
                 return recon + kl, (recon, kl, updates["batch_stats"])
 
             (total, (recon, kl, new_stats)), grads = jax.value_and_grad(

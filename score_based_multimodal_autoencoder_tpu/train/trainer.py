@@ -40,10 +40,11 @@ def train_vae_fleet(
     epochs: int,
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
+    loss_type: str = "vae",
 ) -> Dict[str, Any]:
     n_mod = pixels_train.shape[0]
     tx = adam_with_mutable_lr(lr)
-    fleet = VAEFleet(vae_model, n_mod, tx, beta=beta)
+    fleet = VAEFleet(vae_model, n_mod, tx, beta=beta, loss_type=loss_type)
     key = jax.random.key(seed)
     key, init_key = jax.random.split(key)
     state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
