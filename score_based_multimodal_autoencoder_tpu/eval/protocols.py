@@ -45,6 +45,13 @@ def conditional_protocol(
     (the reference's cl_g/cl_s path, train_poly_unet_cont.py:404-498).
     """
     pred = sorted(int(i) for i in predicted_mods)
+    n_mod = pixels.shape[0]
+    bad = [m for m in pred if not 0 <= m < n_mod]
+    if bad:
+        # jnp indexing would silently clamp out-of-range modalities and
+        # produce a meaningless FID; fail loudly instead.
+        raise ValueError(f"predicted modalities {bad} out of range for "
+                         f"n_mod={n_mod}")
     real_feats = {}
     if feature_fn is not None:
         for m in pred:
