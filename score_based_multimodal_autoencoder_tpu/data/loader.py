@@ -73,3 +73,22 @@ def to_float01(x: np.ndarray) -> np.ndarray:
     if x.dtype == np.uint8:
         return x.astype(np.float32) / 255.0
     return x.astype(np.float32)
+
+
+def gather_batch_01(arr: np.ndarray, idx, modality_major: bool = True) -> np.ndarray:
+    """Fused shuffled-batch assembly: ``arr[... idx ...].astype(f32)/255``.
+
+    Uses the native multithreaded kernel (ops/native) when available; NumPy
+    otherwise. ``modality_major=True`` gathers axis 1 of a
+    (n_mod, N, ...) array; False gathers axis 0.
+    """
+    from ..ops.native import gather_normalize_u8
+
+    idx = np.asarray(idx)
+    if arr.dtype != np.uint8:
+        taken = arr[:, idx] if modality_major else arr[idx]
+        return taken.astype(np.float32)
+    if modality_major:
+        return np.stack([gather_normalize_u8(arr[m], idx)
+                         for m in range(arr.shape[0])])
+    return gather_normalize_u8(arr, idx)

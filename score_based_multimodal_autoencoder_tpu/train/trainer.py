@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.loader import BatchIterator, to_float01
+from ..data.loader import BatchIterator, gather_batch_01, to_float01
 from ..diffusion.losses import dsm_loss
 from ..parallel.fleet import VAEFleet
 from .checkpoints import CheckpointManager
@@ -60,7 +60,7 @@ def train_vae_fleet(
         t0 = time.time()
         totals = []
         for idx in train_iter.epoch():
-            batch = jnp.asarray(to_float01(pixels_train[:, np.asarray(idx)]))
+            batch = jnp.asarray(gather_batch_01(pixels_train, idx))
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             totals.append(metrics["total"])
@@ -204,7 +204,7 @@ def train_score_model(
         t0 = time.time()
         losses = []
         for idx in train_iter.epoch():
-            batch = jnp.asarray(to_float01(pixels_train[:, np.asarray(idx)]))
+            batch = jnp.asarray(gather_batch_01(pixels_train, idx))
             key, sub = jax.random.split(key)
             params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
             losses.append(float(loss))
