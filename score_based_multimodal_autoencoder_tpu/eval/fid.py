@@ -56,3 +56,81 @@ def fid_from_images(
     fa = compute_features(feature_fn, images_a, batch_size)
     fb = compute_features(feature_fn, images_b, batch_size)
     return fid_from_features(fa, fb)
+
+
+def save_stats(path: str, features: np.ndarray):
+    """Persist (mu, sigma) as .npz - interchangeable with pytorch_fid's
+    precomputed-statistics format (fid_score.py uses keys mu/sigma)."""
+    mu, sigma = gaussian_stats(features)
+    np.savez(path, mu=mu, sigma=sigma)
+
+
+def load_stats(path: str):
+    with np.load(path) as f:
+        return f["mu"], f["sigma"]
+
+
+def load_image_dir(path: str, limit=None) -> np.ndarray:
+    """Read a directory of images into (N, H, W, 3) float32 [0, 1] - the
+    reference's PNG-directory FID interchange format
+    (/root/reference/pytorch_fid/fid_score.py:258-270)."""
+    import glob
+    import os
+
+    from PIL import Image
+
+    exts = ("png", "jpg", "jpeg", "bmp")
+    files = sorted(
+        f for e in exts for f in glob.glob(os.path.join(path, f"*.{e}")))
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    if limit:
+        files = files[:limit]
+    imgs = np.stack(
+        [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+         for f in files])
+    return imgs
+
+
+def main():
+    """CLI: FID between two image directories (or .npz stats files), the
+    ``python -m pytorch_fid`` surface (/root/reference/pytorch_fid/__main__.py).
+
+        python -m score_based_multimodal_autoencoder_tpu.eval.fid A/ B/ \
+            [--inception-weights pt_inception.pth] [--batch-size 256]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("paths", nargs=2,
+                   help="two image dirs or .npz statistics files")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--inception-weights", default=None)
+    p.add_argument("--save-stats", default=None,
+                   help="write the FIRST path's stats to this .npz and exit")
+    args = p.parse_args()
+
+    from .inception import make_inception_feature_fn
+
+    feature_fn = make_inception_feature_fn(args.inception_weights)
+
+    def stats_for(path):
+        if path.endswith(".npz"):
+            return load_stats(path)
+        feats = compute_features(feature_fn, load_image_dir(path),
+                                 args.batch_size)
+        return gaussian_stats(feats)
+
+    if args.save_stats:
+        feats = compute_features(feature_fn, load_image_dir(args.paths[0]),
+                                 args.batch_size)
+        save_stats(args.save_stats, feats)
+        print(f"wrote {args.save_stats}")
+        return
+    mu1, s1 = stats_for(args.paths[0])
+    mu2, s2 = stats_for(args.paths[1])
+    print(f"FID: {frechet_distance(mu1, s1, mu2, s2)}")
+
+
+if __name__ == "__main__":
+    main()
