@@ -72,7 +72,8 @@ def _upsample(x, rate, mode):
 
 class ResBlock(nn.Module):
     """conv-BN-act-conv-BN residual block with optional avg-pool down or
-    upsample (RBlock / RBlockN, h_vae_model_copy.py:9-39 / 347-377)."""
+    upsample (RBlock / RBlockN, h_vae_model_copy.py:9-39 / 347-377).
+    ``dropout > 0`` gives the RBlockND family (h_vae_model_copy.py:593-640)."""
 
     mid: int
     out: int
@@ -80,6 +81,7 @@ class ResBlock(nn.Module):
     up_rate: Optional[int] = None
     act: str = "leaky_relu_0.2"
     upsample_mode: str = "nearest"
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +90,9 @@ class ResBlock(nn.Module):
         h = nn.Conv(self.mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
         h = act(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train,
+                           rng_collection="dropout")(h)
         h = nn.Conv(self.out, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
         if x.shape[-1] != self.out:
