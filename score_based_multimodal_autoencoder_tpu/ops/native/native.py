@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "gather_normalize.cpp")
-_SO = os.path.join(_HERE, "_native.so")
+_SO = os.path.join(_HERE, "libnative.so")
 
 _lib = None
 _lock = threading.Lock()
