@@ -83,12 +83,14 @@ def main():
 
     python_loop_sample(jax.random.key(0)).block_until_ready()  # compile
     times = []
-    for i in range(2):
+    for i in range(5):
         t = time.perf_counter()
         python_loop_sample(jax.random.key(i + 1)).block_until_ready()
         times.append(time.perf_counter() - t)
-    base_sps = BATCH / min(times)
-    log(f"python-loop sampler: {min(times):.3f}s/batch -> {base_sps:.1f} samples/s")
+    # Median: per-step dispatch latency over the device link fluctuates.
+    base_sps = BATCH / sorted(times)[len(times) // 2]
+    log(f"python-loop sampler: med {sorted(times)[2]:.3f}s/batch -> "
+        f"{base_sps:.1f} samples/s")
 
     print(json.dumps({
         "metric": "latent_sde_sampling_throughput",
