@@ -36,9 +36,34 @@ class SBMAEPipeline:
     sde: Any
     latent_hw: int
     sampler_kwargs: Dict[str, Any] = field(default_factory=dict)
+    mesh: Any = None  # optional jax.sharding.Mesh: DP-shard generation
 
     def __post_init__(self):
         self._jit_cache: Dict[Tuple, Any] = {}
+
+    def _jit(self, fn, batch_arg_idx=()):
+        """jit with optional data-parallel shardings over the mesh.
+
+        ``batch_arg_idx``: indices of args whose SECOND axis is the batch
+        (the (n_mod, B, ...) pixel stacks) - sharded over 'data'; everything
+        else replicated. Outputs shard their modality-major batch axis.
+        Without a mesh this is plain single-device jit.
+        """
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P(None, "data"))
+        jitted = jax.jit(fn, out_shardings=dat)
+
+        def wrapper(*args):
+            args = tuple(
+                jax.device_put(a, dat if i in batch_arg_idx else rep)
+                for i, a in enumerate(args))
+            return jitted(*args)
+
+        return wrapper
 
     # -- scoring -----------------------------------------------------------
     def score_fn(self, x, t):
@@ -51,7 +76,6 @@ class SBMAEPipeline:
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, fleet_state, score_params):
                 def score_fn(x, t):
                     return self.score_model.apply({"params": score_params}, x, t)
@@ -60,7 +84,7 @@ class SBMAEPipeline:
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return jnp.clip(self.fleet.decode(fleet_state, z), 0.0, 1.0)
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run)
         return self._jit_cache[cache_key](key, self.fleet_state, self.score_params)
 
     def sample_conditional(
@@ -87,7 +111,6 @@ class SBMAEPipeline:
             [i not in pred for i in range(self.fleet.n_mod)])
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, fleet_state, score_params, pixels):
                 def score_fn(x, t):
                     return self.score_model.apply({"params": score_params}, x, t)
@@ -100,6 +123,6 @@ class SBMAEPipeline:
                 keep = observed_mask.reshape(-1, 1, 1, 1, 1)
                 return jnp.where(keep, pixels, out)
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(3,))
         return self._jit_cache[cache_key](
             key, self.fleet_state, self.score_params, pixels)
