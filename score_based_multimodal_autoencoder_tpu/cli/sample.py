@@ -34,7 +34,6 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from ..data.loader import to_float01
     from ..parallel.fleet import VAEFleet

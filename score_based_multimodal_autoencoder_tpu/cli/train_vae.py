@@ -12,7 +12,6 @@ Use --synthetic for the bundled synthetic fixture (no dataset archive).
 
 import argparse
 
-import numpy as np
 
 
 def main():

@@ -13,7 +13,7 @@ and every eval script consume it directly.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -25,7 +25,6 @@ Conventions
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

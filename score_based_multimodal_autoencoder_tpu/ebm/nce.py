@@ -14,7 +14,6 @@ One fused train step: a random modality pair is drawn per step
 
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

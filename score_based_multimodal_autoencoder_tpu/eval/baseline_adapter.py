@@ -11,7 +11,7 @@ so eval.protocols and eval.celeba_protocol run unchanged over any of them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Sequence
 
 import jax

@@ -15,7 +15,7 @@ Works with any modules exposing ``encoder(x, train) -> (mu, logvar)`` and
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Faithfulness notes:
 from __future__ import annotations
 
 from itertools import combinations
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..vae import ResDecoder, ResEncoder

@@ -13,7 +13,7 @@ standard symmetric InfoNCE objective to train them in-framework.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

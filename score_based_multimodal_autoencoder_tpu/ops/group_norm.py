@@ -23,7 +23,6 @@ Pallas interpreter, so CPU tests exercise identical code.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,8 @@ enters by closing the score function over z, so every sampler in
 
 from __future__ import annotations
 
-from itertools import chain, combinations
-from typing import Callable, List, Optional, Sequence
+from itertools import combinations
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

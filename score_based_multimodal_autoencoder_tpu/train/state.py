@@ -7,11 +7,10 @@ flows through jit/pjit unchanged.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 

@@ -12,7 +12,6 @@ suitable for ``jax.jit`` with sharding annotations from ``parallel.mesh``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

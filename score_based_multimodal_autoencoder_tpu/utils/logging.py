@@ -12,7 +12,7 @@ import csv
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 
 class MetricsLogger:
