@@ -51,10 +51,22 @@ def main():
     def score_fn(x, t):
         return model.apply(params, x, t)
 
-    # ---- ours: fused scan ------------------------------------------------
-    @jax.jit
-    def sample(key):
-        return unconditional_sampler(key, score_fn, sde, SHAPE)
+    # ---- ours: fused scan (DP-sharded when >1 device is attached) --------
+    n_dev = len(jax.devices())
+    if n_dev > 1 and BATCH % n_dev == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(jax.devices(), ("data",))
+        out_sh = NamedSharding(mesh, P("data"))
+        log(f"sharding batch over {n_dev} devices")
+        sample = jax.jit(
+            lambda key: unconditional_sampler(key, score_fn, sde, SHAPE),
+            out_shardings=out_sh)
+    else:
+
+        @jax.jit
+        def sample(key):
+            return unconditional_sampler(key, score_fn, sde, SHAPE)
 
     sample(jax.random.key(0)).block_until_ready()  # compile
     times = []

@@ -93,6 +93,26 @@ class VAEFleet:
                      "opt_state": new_opt}
         return new_state, {"total": total, "recon": recon, "kl": kl}
 
+    def eval_loss(self, state: Dict[str, Any], batch, key):
+        """Loss-only evaluation (no gradient, eval-mode BatchNorm stats).
+        Returns metrics dict of (n_mod,) arrays."""
+        keys = jax.random.split(key, self.n_mod)
+
+        def one(params, batch_stats, x, k):
+            noise_key = None if self.loss_type == "ae" else k
+            out, mu, logvar = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, key=noise_key, train=False)
+            if self.loss_type == "ae":
+                recon, kl = ae_reg_loss(x, out, mu, self.beta)
+            else:
+                recon, kl = vae_loss(x, out, mu, logvar, self.beta)
+            return recon + kl, recon, kl
+
+        total, recon, kl = jax.vmap(one)(
+            state["params"], state["batch_stats"], batch, keys)
+        return {"total": total, "recon": recon, "kl": kl}
+
     # -- inference --------------------------------------------------------
     def _variables(self, state):
         return {"params": state["params"], "batch_stats": state["batch_stats"]}

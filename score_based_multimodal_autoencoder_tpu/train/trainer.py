@@ -71,7 +71,7 @@ def train_vae_fleet(
         if pixels_val is not None:
             val_batch = jnp.asarray(to_float01(pixels_val[:, :batch_size]))
             key, sub = jax.random.split(key)
-            _, val_metrics = step(state, val_batch, sub)  # proxy val loss
+            val_metrics = jax.jit(fleet.eval_loss)(state, val_batch, sub)
             val_loss = float(val_metrics["total"].mean())
             _log(f"epoch {epoch}: val={val_loss:.4f}")
             if mgr:
