@@ -19,6 +19,7 @@ def main():
     p.add_argument("--score-ckpt", default="./checkpoints/score")
     p.add_argument("--n-mod", type=int, default=10)
     p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--dim", type=int, default=128)
     p.add_argument("--predicted", default="",
                    help="predicted modality indices, e.g. '9'; empty = unconditional")
     p.add_argument("--incremental", action="store_true")
@@ -73,7 +74,7 @@ def main():
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")
 
-    score_cfg = ScoreConfig.polymnist(channels=args.n_mod)
+    score_cfg = ScoreConfig.polymnist(channels=args.n_mod, dim=args.dim)
     model = score_cfg.build_model()
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")

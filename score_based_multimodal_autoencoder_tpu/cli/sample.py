@@ -19,6 +19,7 @@ def main():
     p.add_argument("--preset", default="polymnist", choices=["polymnist"])
     p.add_argument("--n-mod", type=int, default=10)
     p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--dim", type=int, default=128)
     p.add_argument("--amount", type=int, default=16)
     p.add_argument("--given", default="",
                    help="observed modality indices, e.g. '05'; empty = unconditional")
@@ -43,7 +44,7 @@ def main():
 
     from ..train.lr import adam_with_mutable_lr
 
-    score_cfg = ScoreConfig.polymnist(channels=args.n_mod)
+    score_cfg = ScoreConfig.polymnist(channels=args.n_mod, dim=args.dim)
     vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")

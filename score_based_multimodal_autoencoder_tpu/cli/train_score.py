@@ -23,6 +23,8 @@ def main():
     p.add_argument("--synthetic-n", type=int, default=512)
     p.add_argument("--n-mod", type=int, default=10)
     p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--dim", type=int, default=128,
+                   help="score UNet base width (reference: 128 poly / 256 celeb)")
     p.add_argument("--beta0", type=float, default=0.1)
     p.add_argument("--beta1", type=float, default=20.0)
     p.add_argument("--sde-type", default="vpsde",
@@ -50,7 +52,7 @@ def main():
         "polymnist": ScoreConfig.polymnist,
         "celebhq": ScoreConfig.celebhq,
     }[args.preset](sde_type=args.sde_type, beta_0=args.beta0,
-                   beta_1=args.beta1, channels=args.n_mod)
+                   beta_1=args.beta1, channels=args.n_mod, dim=args.dim)
 
     if args.preset == "celebhq":
         # Three heterogeneous frozen VAEs -> (B, 16, 16, 3) latent grid ->

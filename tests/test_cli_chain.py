@@ -1,0 +1,57 @@
+"""End-to-end CLI chain smoke test: train_vae -> train_score -> sample ->
+evaluate on synthetic data (tiny sizes). Mirrors the verify-skill drive."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ckpt_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli_chain"))
+
+
+def _run(main, argv):
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+
+
+def test_cli_chain(ckpt_root, capsys):
+    from score_based_multimodal_autoencoder_tpu.cli.evaluate import main as eval_main
+    from score_based_multimodal_autoencoder_tpu.cli.sample import main as sample_main
+    from score_based_multimodal_autoencoder_tpu.cli.train_score import (
+        main as score_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_vae import main as vae_main
+
+    common = ["--synthetic", "--synthetic-n", "64", "--n-mod", "2",
+              "--batch-size", "32"]
+    dim = ["--dim", "16"]  # smoke-sized score UNet (reference default 128)
+    _run(vae_main, common + ["--epochs", "1", "--ckpt-dir", f"{ckpt_root}/vae"])
+    _run(score_main, common + dim + ["--epochs", "1",
+                                     "--vae-ckpt", f"{ckpt_root}/vae",
+                                     "--ckpt-dir", f"{ckpt_root}/score"])
+    out_png = f"{ckpt_root}/grid.png"
+    _run(sample_main, dim + ["--vae-ckpt", f"{ckpt_root}/vae",
+                             "--score-ckpt", f"{ckpt_root}/score", "--n-mod", "2",
+                             "--amount", "2", "--given", "0", "--synthetic",
+                             "--out", out_png])
+    assert os.path.exists(out_png)
+
+    capsys.readouterr()  # drain training logs
+    _run(eval_main, dim + ["--synthetic", "--n-mod", "2", "--amount", "8",
+                           "--vae-ckpt", f"{ckpt_root}/vae",
+                           "--score-ckpt", f"{ckpt_root}/score",
+                           "--predicted", "1"])
+    out = capsys.readouterr().out
+    start = out.index("{")
+    res = json.loads(out[start:])
+    assert "1" in res["fid"] and np.isfinite(res["fid"]["1"])
+    assert os.path.getsize(out_png) > 0
