@@ -36,6 +36,8 @@ def main():
     p.add_argument("--im-sample", action="store_true",
                    help="importance-sampled time (likelihood weighting)")
     p.add_argument("--ema", type=float, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the last checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/score")
     args = p.parse_args()
@@ -171,7 +173,7 @@ def main():
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         likelihood_weighting=not args.no_likelihood_weighting,
         importance_sampling=args.im_sample, seed=args.seed,
-        ckpt_dir=args.ckpt_dir, ema_decay=args.ema)
+        ckpt_dir=args.ckpt_dir, ema_decay=args.ema, resume=args.resume)
 
 
 if __name__ == "__main__":

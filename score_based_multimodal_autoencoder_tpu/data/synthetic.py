@@ -57,9 +57,11 @@ def synthetic_polymnist(
         )
         bg3 = bg[..., None] * color[None, None, :]
         ink = mod_rng.uniform(0.7, 1.0, size=3)
+        # Glyph scale adapts to the canvas (7-row font + jitter margin).
+        scale = max(1, (size - 6) // 7)
         for i in range(n):
             img = bg3 + rng.normal(0, 0.03, size=(size, size, 3))
-            stamp = _digit_stamp(int(labels[i]))
+            stamp = _digit_stamp(int(labels[i]), scale=min(scale, 3))
             h, w = stamp.shape
             oy = (size - h) // 2 + int(rng.integers(-2, 3))
             ox = (size - w) // 2 + int(rng.integers(-2, 3))

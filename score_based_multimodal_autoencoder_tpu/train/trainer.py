@@ -160,6 +160,7 @@ def train_score_model(
     sample_every: Optional[int] = None,
     sample_dir: Optional[str] = None,
     sample_sde=None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     key = jax.random.key(seed + 100)
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
@@ -171,6 +172,20 @@ def train_score_model(
     opt_state = tx.init(params)
     ema = params if ema_decay else None
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    start_epoch = 0
+    if resume and mgr and mgr.exists("last"):
+        # Preemption-safe resume: params, EMA, epoch counter and PRNG key
+        # all come back from the checkpoint (capability absent upstream,
+        # SURVEY.md §5).
+        ckpt = mgr.restore_raw("last")
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        if ckpt.get("ema") is not None and ema is not None:
+            ema = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        if ckpt.get("key") is not None:
+            key = jax.random.wrap_key_data(jnp.asarray(ckpt["key"]))
+        _log(f"resumed from epoch {start_epoch}")
 
     @jax.jit
     def step(params, opt_state, ema, pixels, key):
@@ -200,7 +215,7 @@ def train_score_model(
 
     n = pixels_train.shape[1]
     train_iter = BatchIterator(np.arange(n), batch_size, seed=seed)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for idx in train_iter.epoch():

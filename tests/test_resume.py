@@ -1,0 +1,52 @@
+"""Preemption-safe resume: train N epochs in two runs == checkpoint state
+advances and the PRNG key round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from score_based_multimodal_autoencoder_tpu.data import synthetic_polymnist
+from score_based_multimodal_autoencoder_tpu.diffusion import VPSDE
+from score_based_multimodal_autoencoder_tpu.models import ResVAE
+from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+from score_based_multimodal_autoencoder_tpu.parallel import VAEFleet
+from score_based_multimodal_autoencoder_tpu.train.checkpoints import (
+    CheckpointManager,
+)
+from score_based_multimodal_autoencoder_tpu.train.trainer import (
+    train_score_model,
+)
+
+
+def test_score_trainer_resume(tmp_path):
+    ds = synthetic_polymnist(n=48, n_mod=2, size=16, seed=0)
+    # tiny custom VAE (size_in=16) so the fleet is cheap
+    vae = ResVAE(((8, 8, 8, 2), (8, 16, 16, 2)), ((16, 8, 8, 2), (8, 8, 8, 2)),
+                 size_in=16, size_z=16, img_ch=3, variant="poly")
+    fleet = VAEFleet(vae, 2, optax.adam(1e-3))
+    fleet_state = fleet.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
+    model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+    sde = VPSDE(N=20)
+    ckpt = str(tmp_path / "score")
+
+    kw = dict(lr=1e-3, batch_size=16, likelihood_weighting=False, seed=3,
+              ckpt_dir=ckpt, ema_decay=0.99)
+    out1 = train_score_model(model, sde, fleet, fleet_state, ds.images, 4,
+                             epochs=2, **kw)
+    # Resume continues from epoch 2 (no retraining of 0-1).
+    out2 = train_score_model(model, sde, fleet, fleet_state, ds.images, 4,
+                             epochs=4, resume=True, **kw)
+    # Resumed params differ from run-1 end (epochs 2-3 trained).
+    a = jax.tree_util.tree_leaves(out1["params"])[0]
+    b = jax.tree_util.tree_leaves(out2["params"])[0]
+    assert np.abs(np.array(a) - np.array(b)).max() > 0
+    # The stored epoch advanced to 3.
+    raw = CheckpointManager(ckpt).restore_raw("last")
+    assert int(raw["epoch"]) == 3
+    # Resuming a completed run is a no-op (start_epoch == epochs).
+    out3 = train_score_model(model, sde, fleet, fleet_state, ds.images, 4,
+                             epochs=4, resume=True, **kw)
+    c = jax.tree_util.tree_leaves(out3["params"])[0]
+    np.testing.assert_array_equal(np.array(b), np.array(c))
