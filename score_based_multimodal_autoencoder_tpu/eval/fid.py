@@ -15,6 +15,7 @@ feature-agnostic).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -22,6 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .frechet import frechet_distance, gaussian_stats
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted(feature_fn: Callable):
+    # jit's own cache is keyed by function identity; hoisting here keeps
+    # repeated protocol calls with the same extractor from retracing.
+    return jax.jit(feature_fn)
 
 
 def compute_features(feature_fn: Callable, images, batch_size: int = 256) -> np.ndarray:
@@ -32,7 +40,7 @@ def compute_features(feature_fn: Callable, images, batch_size: int = 256) -> np.
     """
     n = images.shape[0]
     feats = []
-    fn = jax.jit(feature_fn)
+    fn = _jitted(feature_fn)
     for i in range(0, n, batch_size):
         chunk = images[i : i + batch_size]
         pad = batch_size - chunk.shape[0]

@@ -53,21 +53,62 @@ class TimeMLP(nn.Module):
         return emb
 
 
+class FusedGroupNormAct(nn.Module):
+    """GroupNorm (+ optional activation) through the fused Pallas kernel
+    (ops/group_norm.py): one VMEM pass instead of the reduce+normalize HBM
+    round-trips of an unfused GN. Param layout (scale/bias under the module
+    name) matches ``nn.GroupNorm`` so checkpoints are interchangeable with
+    the unfused path; eps matches the flax default (1e-6)."""
+
+    groups: int
+    act: str = "none"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import fused_group_norm_act
+
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,))
+        beta = self.param("bias", nn.initializers.zeros, (C,))
+        interpret = jax.default_backend() != "tpu"
+        return fused_group_norm_act(
+            x, gamma.astype(self.dtype), beta.astype(self.dtype),
+            self.groups, 1e-6, self.act, interpret)
+
+
+def _gn_act(x, groups, name, dtype, act="none", fused=False):
+    """GroupNorm followed by an activation, fused on TPU when requested."""
+    if fused:
+        return FusedGroupNormAct(groups=groups, act=act, dtype=dtype,
+                                 name=name)(x)
+    h = nn.GroupNorm(num_groups=groups, dtype=dtype, name=name)(x)
+    if act == "silu":
+        return nn.silu(h)
+    if act == "gelu":
+        return nn.gelu(h)
+    return h
+
+
 class ConvBlock(nn.Module):
     """conv3x3 -> GroupNorm -> (scale,shift) -> SiLU (unet_model.py:49-65)."""
 
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[tuple] = None):
         x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
+            x = _gn_act(x, self.groups, "norm", self.dtype,
+                        act="none", fused=self.fused_norms)
             x = x * (scale + 1.0) + shift
-        return nn.silu(x)
+            return nn.silu(x)
+        return _gn_act(x, self.groups, "norm", self.dtype,
+                       act="silu", fused=self.fused_norms)
 
 
 class ResnetBlock(nn.Module):
@@ -77,16 +118,19 @@ class ResnetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb=None):
-        h = ConvBlock(self.dim_out, self.groups, self.dtype, name="block1")(x)
+        h = ConvBlock(self.dim_out, self.groups, self.dtype,
+                      self.fused_norms, name="block1")(x)
         if time_emb is not None:
             emb = nn.Dense(self.dim_out, dtype=self.dtype, name="time_proj")(
                 nn.silu(time_emb)
             )
             h = h + emb[:, None, None, :]
-        h = ConvBlock(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        h = ConvBlock(self.dim_out, self.groups, self.dtype,
+                      self.fused_norms, name="block2")(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         return h + x
@@ -101,6 +145,7 @@ class ConvNeXtBlock(nn.Module):
     mult: int = 2
     norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -116,10 +161,10 @@ class ConvNeXtBlock(nn.Module):
         if self.norm:
             # GroupNorm(1) == LayerNorm over (H, W, C) stats per the torch
             # semantics of nn.GroupNorm(1, dim).
-            h = nn.GroupNorm(num_groups=1, dtype=self.dtype, name="norm1")(h)
+            h = _gn_act(h, 1, "norm1", self.dtype, fused=self.fused_norms)
         h = nn.Conv(self.dim_out * self.mult, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         h = nn.gelu(h)
-        h = nn.GroupNorm(num_groups=1, dtype=self.dtype, name="norm2")(h)
+        h = _gn_act(h, 1, "norm2", self.dtype, fused=self.fused_norms)
         h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
@@ -158,6 +203,7 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -173,17 +219,19 @@ class LinearAttention(nn.Module):
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(B, H, W, hidden)
         out = nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
-        return nn.GroupNorm(num_groups=1, dtype=self.dtype, name="out_norm")(out)
+        return _gn_act(out, 1, "out_norm", self.dtype, fused=self.fused_norms)
 
 
 class PreNormResidual(nn.Module):
     """x + fn(GroupNorm(1)(x)) (unet_model.py:21-27, 179-187)."""
 
     fn: nn.Module
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return x + self.fn(nn.GroupNorm(num_groups=1, dtype=x.dtype, name="norm")(x))
+        return x + self.fn(
+            _gn_act(x, 1, "norm", x.dtype, fused=self.fused_norms))
 
 
 def downsample(dim, dtype=jnp.float32, name=None):

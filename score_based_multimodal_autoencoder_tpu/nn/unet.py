@@ -81,16 +81,20 @@ class LatentUNet(nn.Module):
     use_convnext: bool = True
     convnext_mult: int = 2
     dtype: jnp.dtype = jnp.float32
+    # Route every GroupNorm through the fused Pallas GN+act kernel
+    # (ops/group_norm.py); param trees are identical either way, so
+    # checkpoints from the unfused path load unchanged.
+    fused_norms: bool = False
 
     def _block(self, dim_in, dim_out, name):
         if self.use_convnext:
             return ConvNeXtBlock(
                 dim=dim_in, dim_out=dim_out, mult=self.convnext_mult,
-                dtype=self.dtype, name=name,
+                dtype=self.dtype, fused_norms=self.fused_norms, name=name,
             )
         return ResnetBlock(
             dim_out=dim_out, groups=self.resnet_block_groups,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, fused_norms=self.fused_norms, name=name,
         )
 
     @nn.compact
@@ -115,7 +119,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_in, dim_out, f"down{i}_block1")(x, t)
             x = self._block(dim_out, dim_out, f"down{i}_block2")(x, t)
             x = PreNormResidual(
-                LinearAttention(dtype=self.dtype), name=f"down{i}_attn"
+                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms),
+                fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
             if i < n_res - 1:
@@ -123,7 +128,8 @@ class LatentUNet(nn.Module):
 
         mid_dim = dims[-1]
         x = self._block(mid_dim, mid_dim, "mid_block1")(x, t)
-        x = PreNormResidual(Attention(dtype=self.dtype), name="mid_attn")(x)
+        x = PreNormResidual(Attention(dtype=self.dtype),
+                            fused_norms=self.fused_norms, name="mid_attn")(x)
         x = self._block(mid_dim, mid_dim, "mid_block2")(x, t)
 
         for j in range(n_res - 1):
@@ -137,7 +143,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_out * 2, dim_in, f"up{j}_block1")(x, t)
             x = self._block(dim_in, dim_in, f"up{j}_block2")(x, t)
             x = PreNormResidual(
-                LinearAttention(dtype=self.dtype), name=f"up{j}_attn"
+                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms),
+                fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)
 

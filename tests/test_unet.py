@@ -86,3 +86,22 @@ def test_gradients_flow_everywhere():
     assert all(np.isfinite(norms))
     # The finest skip is unused by design, but every PARAM must get grads.
     assert sum(n == 0.0 for n in norms) <= len(norms) * 0.05
+
+
+def test_fused_norms_parity():
+    """fused_norms routes every GroupNorm through the Pallas kernel
+    (interpret mode on CPU); same param tree, same outputs/grads."""
+    m0 = LatentUNet(dim=16, channels=3, dim_mults=(1, 2))
+    m1 = LatentUNet(dim=16, channels=3, dim_mults=(1, 2), fused_norms=True)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 3))
+    t = jnp.full((2,), 0.4)
+    p0 = m0.init(jax.random.key(0), x, t)
+    p1 = m1.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    y0, y1 = m0.apply(p0, x, t), m1.apply(p0, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x, t) ** 2))(p0)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t) ** 2))(p0)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-2)
