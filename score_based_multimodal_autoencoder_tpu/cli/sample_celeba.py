@@ -22,6 +22,9 @@ def main():
     p.add_argument("--score-ckpt", default="./checkpoints/celeba_score")
     p.add_argument("--refiner-ckpt", default=None,
                    help="optional DiffuseVAE refiner checkpoint")
+    p.add_argument("--refiner-channels", type=int, default=128)
+    p.add_argument("--refiner-mult", default="1,2,2,3,4")
+    p.add_argument("--refiner-timesteps", type=int, default=1000)
     p.add_argument("--size-z", type=int, default=256)
     p.add_argument("--amount", type=int, default=6)
     p.add_argument("--given-sets", default=",0,1,2,01,02,12")
@@ -76,6 +79,22 @@ def main():
         latent_hw=score_cfg.latent_hw,
         sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
 
+    refiner = refiner_params = schedule = None
+    if args.refiner_ckpt:
+        # DiffuseVAE sharpening of the generated image modality
+        # (plt_celebhq_all.py:222-343, eval_lat_celeba_hq_all.py:72-122).
+        from ..diffusion.ddpm import DDPMSchedule
+        from ..nn.unet_adm import ADMUNet
+
+        refiner = ADMUNet(
+            in_channels=6, model_channels=args.refiner_channels,
+            out_channels=3, num_res_blocks=2, attention_resolutions=(16,),
+            channel_mult=tuple(int(v) for v in args.refiner_mult.split(",")),
+            num_heads=8)
+        refiner_params = CheckpointManager(
+            args.refiner_ckpt).restore_raw("last")["params"]
+        schedule = DDPMSchedule(timesteps=args.refiner_timesteps)
+
     os.makedirs(args.out_dir, exist_ok=True)
     key = jax.random.key(args.seed)
     for given in args.given_sets.split(","):
@@ -86,6 +105,10 @@ def main():
         else:
             outs = pipe.sample_unconditional(sub, args.amount)
         img, msk, att = outs
+        if refiner is not None:
+            key, rkey = jax.random.split(key)
+            img = pipe.refine_images(rkey, jnp.clip(img, 0, 1), refiner,
+                                     refiner_params, schedule)
         panel = jnp.stack([
             images, jnp.clip(img, 0, 1),
             jnp.repeat(masks, 3, -1), jnp.repeat(jnp.clip(msk, 0, 1), 3, -1),

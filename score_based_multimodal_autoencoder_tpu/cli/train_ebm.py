@@ -22,6 +22,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--im-sample", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the resume checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/ebm")
     args = p.parse_args()
@@ -85,9 +87,21 @@ def main():
     key = jax.random.key(args.seed)
     rng = np.random.default_rng(args.seed)
     mgr = CheckpointManager(args.ckpt_dir)
+    start_epoch = 0
+    if args.resume and mgr.exists("resume"):
+        target = {"params": params, "opt_state": opt_state, "epoch": 0,
+                  "key": jax.random.key_data(key)}
+        saved = mgr.restore(target, "resume")
+        params, opt_state = saved["params"], saved["opt_state"]
+        start_epoch = int(saved["epoch"]) + 1
+        key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
+        # Replay the host RNG (pair choices) to its position at preemption.
+        rng = np.random.default_rng(args.seed + start_epoch)
+        print(f"resumed from epoch {start_epoch}", flush=True)
+
     n = pixels.shape[1]
     it = BatchIterator(np.arange(n), args.batch_size, seed=args.seed)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
             batch = jnp.asarray(to_float01(pixels[:, np.asarray(idx)]))
@@ -101,6 +115,9 @@ def main():
               f"({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last({"params": params})
         mgr.save_best({"params": params}, float(np.mean(losses)))
+        mgr._ckpt.save(mgr._dir("resume"), {
+            "params": params, "opt_state": opt_state, "epoch": epoch,
+            "key": jax.random.key_data(key)}, force=True)
     mgr.wait()
 
 

@@ -3,6 +3,10 @@
 Replacement for /root/reference/train_poly_unet_cont.py (PolyMNIST) and
 /root/reference/train_lat_celebhq_unet_cont2.py (CelebA): one fused XLA
 program per optimizer step encodes all modalities and takes a DSM step.
+Validation DSM over the full val split keys the best checkpoint
+(train_poly_unet_cont.py:663-690); --eval-every runs the quantitative
+conditional protocol in-training (calc_poly_cond / calc_perf,
+train_poly_unet_cont.py:692-723, train_lat_celebhq_unet_cont2.py:559-561).
 
     python -m score_based_multimodal_autoencoder_tpu.cli.train_score \
         --preset polymnist --vae-ckpt ./checkpoints/vae_fleet --synthetic
@@ -23,8 +27,16 @@ def main():
     p.add_argument("--synthetic-n", type=int, default=512)
     p.add_argument("--n-mod", type=int, default=10)
     p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--size", type=int, default=128,
+                   help="celebhq input resolution (128 = reference)")
     p.add_argument("--dim", type=int, default=128,
                    help="score UNet base width (reference: 128 poly / 256 celeb)")
+    p.add_argument("--dim-mults", default=None,
+                   help="comma list overriding the preset's per-level width "
+                        "multipliers (e.g. '1,2' for smoke grids)")
+    p.add_argument("--tpu-preset", action="store_true",
+                   help="MXU-aligned stem + fused Pallas GroupNorms "
+                        "(ScoreConfig.*_tpu)")
     p.add_argument("--beta0", type=float, default=0.1)
     p.add_argument("--beta1", type=float, default=20.0)
     p.add_argument("--sde-type", default="vpsde",
@@ -36,6 +48,12 @@ def main():
     p.add_argument("--im-sample", action="store_true",
                    help="importance-sampled time (likelihood weighting)")
     p.add_argument("--ema", type=float, default=None)
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="run the quantitative conditional protocol every N "
+                        "epochs (reference: every 500)")
+    p.add_argument("--eval-amount", type=int, default=64)
+    p.add_argument("--inception-weights", default=None)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--resume", action="store_true",
                    help="continue from the last checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
@@ -43,41 +61,42 @@ def main():
     args = p.parse_args()
 
     import jax
-    import optax
+    import jax.numpy as jnp
+    import numpy as np
 
+    from ..data.loader import to_float01
     from ..parallel.fleet import VAEFleet
     from ..train.checkpoints import CheckpointManager
     from ..train.configs import ScoreConfig, VAEConfig
-    from ..train.trainer import train_score_model
-
-    score_cfg = {
-        "polymnist": ScoreConfig.polymnist,
-        "celebhq": ScoreConfig.celebhq,
-    }[args.preset](sde_type=args.sde_type, beta_0=args.beta0,
-                   beta_1=args.beta1, channels=args.n_mod, dim=args.dim)
+    from ..train.lr import adam_with_mutable_lr
+    from ..train.trainer import train_het_score_model, train_score_model
 
     if args.preset == "celebhq":
-        # Three heterogeneous frozen VAEs -> (B, 16, 16, 3) latent grid ->
+        # Three heterogeneous frozen VAEs -> (B, hw, hw, 3) latent grid ->
         # DSM (train_lat_celebhq_unet_cont2.py:376-561).
-        import time
-
-        import numpy as np
-        import optax
-
-        from ..data.loader import BatchIterator, to_float01
         from ..pipeline_celeba import Modality
-        from ..train.checkpoints import CheckpointManager as Mgr
-        from ..train.configs import VAEConfig
-        from ..diffusion.losses import dsm_loss
 
+        size_z = args.size_z if args.size_z != 64 else 256
+        hw = int(round(size_z ** 0.5))
         if args.synthetic:
             from ..data import synthetic_celeba
 
-            ds = synthetic_celeba(args.synthetic_n, size=128, seed=args.seed)
+            tr = synthetic_celeba(args.synthetic_n, size=args.size,
+                                  seed=args.seed)
+            va = synthetic_celeba(max(16, args.synthetic_n // 8),
+                                  size=args.size, seed=args.seed + 1)
         else:
             from ..data import load_celeba_hq
 
-            ds = load_celeba_hq(args.data_root, "train")
+            tr = load_celeba_hq(args.data_root, "train")
+            va = load_celeba_hq(args.data_root, "val")
+
+        def make_gather(ds):
+            def gather(idx):
+                return (jnp.asarray(to_float01(ds.images[idx])),
+                        jnp.asarray(to_float01(ds.masks[idx])),
+                        jnp.asarray(ds.visible_attrs()[idx]))
+            return gather
 
         mods = []
         for name, cfg_fn, ckpt in [
@@ -85,95 +104,113 @@ def main():
             ("mask", VAEConfig.celeba_mask, args.mask_ckpt),
             ("attr", VAEConfig.celeba_attr, args.attr_ckpt),
         ]:
-            m = cfg_fn(size_z=args.size_z if args.size_z != 64 else 256)
+            m = cfg_fn(size_z=size_z, size_in=args.size)
             mods.append(Modality(name, m.build_model(),
-                                 Mgr(ckpt).restore_raw("last")))
+                                 CheckpointManager(ckpt).restore_raw("last")))
 
-        score_cfg2 = ScoreConfig.celebhq(
-            sde_type=args.sde_type, beta_0=args.beta0, beta_1=args.beta1)
-        model = score_cfg2.build_model()
-        sde = score_cfg2.build_sde()
-        hw = score_cfg2.latent_hw
-        import jax
-        import jax.numpy as jnp
+        cfg_fn = ScoreConfig.celebhq_tpu if args.tpu_preset else ScoreConfig.celebhq
+        extra = ({"dim_mults": tuple(int(v) for v in args.dim_mults.split(","))}
+                 if args.dim_mults else {})
+        score_cfg = cfg_fn(sde_type=args.sde_type, beta_0=args.beta0,
+                           beta_1=args.beta1, dim=args.dim, latent_hw=hw,
+                           **extra)
 
-        def encode(inputs):
-            chans = []
-            for mod, x in zip(mods, inputs):
-                z = mod.encode(x)
-                chans.append(z.reshape(z.shape[0], hw, hw))
-            return jnp.stack(chans, axis=-1)
+        eval_fn = None
+        if args.eval_every:
+            from ..eval.celeba_protocol import celeba_protocol
 
-        key = jax.random.key(args.seed)
-        sample = (jnp.asarray(to_float01(ds.images[:2])),
-                  jnp.asarray(to_float01(ds.masks[:2])),
-                  jnp.asarray(ds.visible_attrs()[:2]))
-        grid0 = encode(sample)
-        params = model.init(key, grid0, jnp.full((2,), 0.5))["params"]
-        tx = optax.adam(args.lr)
-        opt_state = tx.init(params)
+            feature_fn = None
+            if args.inception_weights:
+                from ..eval.inception import make_inception_feature_fn
 
-        @jax.jit
-        def step(params, opt_state, inputs, key):
-            grid = encode(inputs)
+                feature_fn = make_inception_feature_fn(args.inception_weights)
+            ev = make_gather(va)(np.arange(min(args.eval_amount, len(va))))
 
-            def loss_fn(p):
-                return dsm_loss(
-                    key, lambda x, t: model.apply({"params": p}, x, t),
-                    sde, grid,
-                    likelihood_weighting=not args.no_likelihood_weighting,
-                    importance_sampling=args.im_sample)
+            def eval_fn(pipeline, key):
+                return {r["given"] or "uncond": r for r in celeba_protocol(
+                    pipeline, key, *[np.asarray(x) for x in ev],
+                    feature_fn=feature_fn,
+                    batch_size=min(64, args.eval_amount))}
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        mgr = Mgr(args.ckpt_dir)
-        it = BatchIterator(np.arange(len(ds)), args.batch_size, seed=args.seed)
-        for epoch in range(args.epochs):
-            t0, losses = time.time(), []
-            for idx in it.epoch():
-                i = np.asarray(idx)
-                batch = (jnp.asarray(to_float01(ds.images[i])),
-                         jnp.asarray(to_float01(ds.masks[i])),
-                         jnp.asarray(ds.visible_attrs()[i]))
-                key, sub = jax.random.split(key)
-                params, opt_state, loss = step(params, opt_state, batch, sub)
-                losses.append(float(loss))
-            print(f"epoch {epoch}: dsm={np.mean(losses):.5f} "
-                  f"({time.time()-t0:.1f}s)", flush=True)
-            mgr.save_last({"params": params})
-            mgr.save_best({"params": params}, float(np.mean(losses)))
-        mgr.wait()
+        train_het_score_model(
+            score_cfg.build_model(), score_cfg.build_sde(), mods,
+            make_gather(tr), len(tr), hw,
+            gather_val=make_gather(va), n_val=len(va),
+            lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
+            likelihood_weighting=not args.no_likelihood_weighting,
+            importance_sampling=args.im_sample, seed=args.seed,
+            ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
+            eval_every=args.eval_every, eval_fn=eval_fn,
+            metrics_path=args.metrics, resume=args.resume)
         return
 
     if args.synthetic:
         from ..data import synthetic_polymnist
 
-        pixels = synthetic_polymnist(args.synthetic_n, args.n_mod, 32, args.seed).images
+        tr_ds = synthetic_polymnist(args.synthetic_n, args.n_mod, 32, args.seed)
+        va_ds = synthetic_polymnist(max(32, args.synthetic_n // 8), args.n_mod,
+                                    32, args.seed + 1)
+        pixels, pixels_val = tr_ds.images, va_ds.images
+        eval_pixels, eval_labels = va_ds.images, va_ds.labels
     else:
         from ..data import load_polymnist
 
         pixels = load_polymnist(args.data_root, "train").images
+        va_ds = load_polymnist(args.data_root, "val")
+        pixels_val, eval_pixels, eval_labels = va_ds.images, va_ds.images, va_ds.labels
 
-    from ..train.lr import adam_with_mutable_lr
+    cfg_fn = ScoreConfig.polymnist_tpu if args.tpu_preset else ScoreConfig.polymnist
+    extra = ({"dim_mults": tuple(int(v) for v in args.dim_mults.split(","))}
+             if args.dim_mults else {})
+    score_cfg = cfg_fn(sde_type=args.sde_type, beta_0=args.beta0,
+                       beta_1=args.beta1, channels=args.n_mod, dim=args.dim,
+                       **extra)
 
     vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
     # Same optimizer as the stage-1 trainer so the checkpoint tree matches.
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
-    import jax.numpy as jnp
-
     mgr = CheckpointManager(args.vae_ckpt)
     fleet_state = mgr.restore_raw("best" if mgr.exists("best") else "last")
+
+    eval_fn = None
+    if args.eval_every:
+        # In-training conditional protocol: generate every modality given
+        # m0, report per-target FID (+ coherence when a classifier ckpt is
+        # wired via cli.evaluate) - train_poly_unet_cont.py:692-723.
+        from ..eval.protocols import conditional_protocol
+
+        feature_fn = None
+        if args.inception_weights:
+            from ..eval.inception import make_inception_feature_fn
+
+            feature_fn = make_inception_feature_fn(args.inception_weights)
+        else:
+            def feature_fn(x):  # pixel-moment proxy features (CI-sized)
+                f = x.reshape(x.shape[0], -1)
+                return jnp.concatenate(
+                    [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
+                     f[:, ::max(1, f.shape[1] // 64)]], -1)
+        amt = min(args.eval_amount, eval_pixels.shape[1])
+        ep = jnp.asarray(to_float01(eval_pixels[:, :amt]))
+        el = jnp.asarray(eval_labels[:amt])
+
+        def eval_fn(pipeline, key):
+            return conditional_protocol(
+                pipeline, key, ep, el,
+                predicted_mods=list(range(1, args.n_mod)),
+                feature_fn=feature_fn, batch_size=amt)
 
     model = score_cfg.build_model()
     sde = score_cfg.build_sde()
     train_score_model(
         model, sde, fleet, fleet_state, pixels, score_cfg.latent_hw,
+        pixels_val=pixels_val,
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         likelihood_weighting=not args.no_likelihood_weighting,
         importance_sampling=args.im_sample, seed=args.seed,
-        ckpt_dir=args.ckpt_dir, ema_decay=args.ema, resume=args.resume)
+        ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
+        eval_every=args.eval_every, eval_fn=eval_fn,
+        metrics_path=args.metrics, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -26,10 +26,14 @@ def main():
                    help="'ae' = regularized deterministic AE track "
                         "(train_polyupdAE.py)")
     p.add_argument("--size-z", type=int, default=64)
+    p.add_argument("--size", type=int, default=128,
+                   help="celeba input resolution (128 = reference)")
     p.add_argument("--beta", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the resume checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet")
     args = p.parse_args()
@@ -37,12 +41,14 @@ def main():
     from ..train.configs import VAEConfig
     from ..train.trainer import train_single_vae, train_vae_fleet
 
-    cfg = {
-        "polymnist": VAEConfig.polymnist,
-        "celeba_image": VAEConfig.celeba_image,
-        "celeba_mask": VAEConfig.celeba_mask,
-        "celeba_attr": VAEConfig.celeba_attr,
-    }[args.dataset](size_z=args.size_z, beta=args.beta)
+    if args.dataset == "polymnist":
+        cfg = VAEConfig.polymnist(size_z=args.size_z, beta=args.beta)
+    else:
+        cfg = {
+            "celeba_image": VAEConfig.celeba_image,
+            "celeba_mask": VAEConfig.celeba_mask,
+            "celeba_attr": VAEConfig.celeba_attr,
+        }[args.dataset](size_z=args.size_z, beta=args.beta, size_in=args.size)
     model = cfg.build_model()
 
     if args.dataset != "polymnist":
@@ -51,9 +57,10 @@ def main():
         if args.synthetic:
             from ..data import synthetic_celeba
 
-            tr = synthetic_celeba(args.synthetic_n, size=128, seed=args.seed)
-            va = synthetic_celeba(max(32, args.synthetic_n // 8), size=128,
-                                  seed=args.seed + 1)
+            tr = synthetic_celeba(args.synthetic_n, size=args.size,
+                                  seed=args.seed)
+            va = synthetic_celeba(max(32, args.synthetic_n // 8),
+                                  size=args.size, seed=args.seed + 1)
         else:
             from ..data import load_celeba_hq
 
@@ -67,7 +74,7 @@ def main():
         train_single_vae(
             model, train_arr, val_arr, beta=args.beta, lr=args.lr,
             batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-            ckpt_dir=args.ckpt_dir)
+            ckpt_dir=args.ckpt_dir, resume=args.resume)
         return
 
     if args.synthetic:
@@ -86,7 +93,7 @@ def main():
     train_vae_fleet(
         model, px_train, px_val, beta=args.beta, lr=args.lr,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-        ckpt_dir=args.ckpt_dir, loss_type=args.vae_type)
+        ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -90,3 +90,71 @@ class BaselineSampler:
 
             self._jit_cache[cache_key] = run
         return self._jit_cache[cache_key](key, pixels)
+
+
+def _clip_pixels(outs):
+    """Clip image-shaped (4-D) outputs to [0, 1]; leave attribute LOGITS
+    (2-D) untouched - the protocols apply sigmoid downstream
+    (calc_perf attr handling, train_lat_celebhq_unet_cont2.py:325-333)."""
+    return tuple(jnp.clip(o, 0.0, 1.0) if o.ndim == 4 else o for o in outs)
+
+
+@dataclass
+class HetBaselineSampler:
+    """CelebA-style heterogeneous baseline adapter.
+
+    Gives HeterogeneousMixtureVAE (mopoe/mvt/...) and HeterogeneousMMVAEPlus
+    the same ``sample_conditional(key, inputs, observed)`` /
+    ``sample_unconditional(key, N)`` surface as pipeline_celeba.
+    HeterogeneousPipeline, so eval.celeba_protocol sweeps score model and
+    baselines through identical code (the reference's side-by-side loop,
+    /root/reference/eval_lat_celeba_hq_all.py:498-528).
+    """
+
+    model: Any
+    variables: Any
+    mix_type: str  # 'mopoe' | 'mvt' | 'mvae' | 'mmvae' | 'mmplus'
+    n_mod: int = 3
+
+    def __post_init__(self):
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def sample_unconditional(self, key, amount: int, **_):
+        cache_key = ("uncond", amount)
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def run(key):
+                if self.mix_type == "mmplus":
+                    outs = self.model.apply(self.variables, key, amount,
+                                            method=self.model.generate)
+                else:
+                    outs = self.model.apply(self.variables, key, amount,
+                                            method=self.model.sample)
+                return _clip_pixels(outs)
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key))
+
+    def sample_conditional(self, key, inputs, observed_mask, **_):
+        mask = tuple(bool(b) for b in observed_mask)
+        cache_key = ("cond", mask)
+        if cache_key not in self._jit_cache:
+            present = jnp.array(mask)
+
+            @jax.jit
+            def run(key, inputs):
+                if self.mix_type == "mmplus":
+                    present_idx = jnp.array(
+                        [i for i, m in enumerate(mask) if m])
+                    outs = self.model.apply(
+                        self.variables, inputs, present_idx, key,
+                        method=self.model.cond_gen)
+                else:
+                    outs = self.model.apply(
+                        self.variables, inputs, present, key, self.mix_type,
+                        method=self.model.cond_gen)
+                return _clip_pixels(outs)
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key, tuple(inputs)))

@@ -347,13 +347,35 @@ def polymnist_vae(size_z: int = 64, dtype=jnp.float32) -> ResVAE:
                   size_in=32, size_z=size_z, img_ch=3, variant="poly", dtype=dtype)
 
 
-def celeba_image_vae(size_z: int = 256, dtype=jnp.float32) -> ResVAE:
-    """CelebA-HQ 128x128 face VAE (train_celeba_res_hq.py:132-137)."""
-    return ResVAE(CELEBA_IMG_ENC_CHANNELS, CELEBA_IMG_DEC_CHANNELS,
-                  size_in=128, size_z=size_z, img_ch=3, variant="celeb", dtype=dtype)
+def celeba_image_vae(size_z: int = 256, dtype=jnp.float32,
+                     size_in: int = 128) -> ResVAE:
+    """CelebA-HQ 128x128 face VAE (train_celeba_res_hq.py:132-137).
+
+    ``size_in != 128`` builds a proportionally-scaled smoke config (same
+    topology, smaller widths) for CPU tests / synthetic CLI drives; the
+    reference channel lists are kept verbatim at 128.
+    """
+    if size_in == 128:
+        return ResVAE(CELEBA_IMG_ENC_CHANNELS, CELEBA_IMG_DEC_CHANNELS,
+                      size_in=128, size_z=size_z, img_ch=3, variant="celeb",
+                      dtype=dtype)
+    return ResVAE(((8, 16, 16, 2), (16, 32, 32, 2)),
+                  ((32, 16, 16, 2), (16, 16, 16, 2)),
+                  size_in=size_in, size_z=size_z, img_ch=3, variant="celeb",
+                  dtype=dtype)
 
 
-def celeba_mask_vae(size_z: int = 256, dtype=jnp.float32) -> ResVAE:
-    """CelebA-HQ 128x128 binary mask VAE (train_celeba_mask_hq.py:131-136)."""
-    return ResVAE(CELEBA_MASK_ENC_CHANNELS, CELEBA_MASK_DEC_CHANNELS,
-                  size_in=128, size_z=size_z, img_ch=1, variant="celeb", dtype=dtype)
+def celeba_mask_vae(size_z: int = 256, dtype=jnp.float32,
+                    size_in: int = 128) -> ResVAE:
+    """CelebA-HQ 128x128 binary mask VAE (train_celeba_mask_hq.py:131-136).
+
+    ``size_in != 128``: smoke-scaled variant (see celeba_image_vae).
+    """
+    if size_in == 128:
+        return ResVAE(CELEBA_MASK_ENC_CHANNELS, CELEBA_MASK_DEC_CHANNELS,
+                      size_in=128, size_z=size_z, img_ch=1, variant="celeb",
+                      dtype=dtype)
+    return ResVAE(((8, 16, 16, 2), (16, 32, 32, 2)),
+                  ((32, 16, 16, 2), (16, 16, 16, 2)),
+                  size_in=size_in, size_z=size_z, img_ch=1, variant="celeb",
+                  dtype=dtype)

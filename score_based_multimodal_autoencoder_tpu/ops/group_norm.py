@@ -47,39 +47,55 @@ def _act(name, x):
 
 
 def _gn_act_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, groups, eps, act):
-    H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    """One grid step normalizes a (Bt, H, W, C) batch TILE: per-sample
+    per-group statistics via 2-D/3-D reductions only (per-channel sums ->
+    per-group sums), then normalize + affine + activation in one pass."""
+    Bt, H, W, C = x_ref.shape
     cg = C // groups
-    x = x_ref[0].astype(jnp.float32).reshape(H * W, C)
-    # Per-channel sums -> per-group stats.
-    sum_c = jnp.sum(x, axis=0).reshape(1, C)
-    sumsq_c = jnp.sum(x * x, axis=0).reshape(1, C)
+    x = x_ref[...].astype(jnp.float32).reshape(Bt, H * W, C)
+    # Per-sample per-channel sums -> per-sample per-group stats.
+    sum_c = jnp.sum(x, axis=1)  # (Bt, C)
+    sumsq_c = jnp.sum(x * x, axis=1)
     n = H * W * cg
-    g_sum = sum_c.reshape(groups, cg).sum(axis=1, keepdims=True)  # (G, 1)
-    g_sumsq = sumsq_c.reshape(groups, cg).sum(axis=1, keepdims=True)
+    g_sum = sum_c.reshape(Bt, groups, cg).sum(axis=2)  # (Bt, G)
+    g_sumsq = sumsq_c.reshape(Bt, groups, cg).sum(axis=2)
     mean_g = g_sum / n
     var_g = g_sumsq / n - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.broadcast_to(mean_g, (groups, cg)).reshape(1, C)
-    rstd_c = jnp.broadcast_to(rstd_g, (groups, cg)).reshape(1, C)
+    mean_c = jnp.repeat(mean_g, cg, axis=1).reshape(Bt, 1, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1).reshape(Bt, 1, C)
     y = (x - mean_c) * rstd_c
     y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
     y = _act(act, y)
-    o_ref[0] = y.reshape(H, W, C).astype(o_ref.dtype)
+    o_ref[...] = y.reshape(Bt, H, W, C).astype(o_ref.dtype)
+
+
+def _batch_tile(B, H, W, C, itemsize, budget_bytes=2 << 20):
+    """Largest divisor of B whose (Bt, H, W, C) slab fits the VMEM budget
+    (~2 MB leaves room for double buffering in ~16 MB VMEM)."""
+    per_sample = H * W * C * itemsize
+    cap = max(1, budget_bytes // max(1, per_sample))
+    bt = 1
+    for d in range(1, B + 1):
+        if B % d == 0 and d <= cap:
+            bt = d
+    return bt
 
 
 def _gn_act_pallas(x, gamma, beta, groups, eps, act, interpret):
     B, H, W, C = x.shape
+    Bt = _batch_tile(B, H, W, C, x.dtype.itemsize)
     kernel = functools.partial(_gn_act_kernel, groups=groups, eps=eps, act=act)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // Bt,),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((Bt, H, W, C), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((Bt, H, W, C), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,

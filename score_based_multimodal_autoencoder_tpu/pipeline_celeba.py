@@ -128,3 +128,68 @@ class HeterogeneousPipeline:
 
             self._jit_cache[cache_key] = run
         return list(self._jit_cache[cache_key](key))
+
+
+@dataclass
+class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
+    """z-conditioned variant: the score UNet additionally receives the
+    averaged contrastive representation of the OBSERVED modalities
+    (get_conds, /root/reference/train_lat_celebhq_unet_cont2_cond.py:452-460;
+    gen_z :273-320). With nothing observed the condition is the zero vector.
+    """
+
+    rep_models: Sequence = ()
+    rep_params: Sequence = ()
+
+    def _z_cond(self, inputs, observed_mask):
+        from .nn.contrastive import average_condition
+
+        reps = jnp.stack([
+            m.apply({"params": p}, x)
+            for m, p, x in zip(self.rep_models, self.rep_params, inputs)])
+        return average_condition(reps, jnp.asarray(observed_mask))
+
+    def sample_conditional(self, key, inputs, observed_mask, **overrides):
+        kw = {**self.sampler_kwargs, **overrides}
+        mask = tuple(bool(b) for b in observed_mask)
+        cache_key = ("zcond", mask, tuple(sorted(kw.items())))
+        if cache_key not in self._jit_cache:
+            mask_arr = jnp.array(mask)
+
+            @jax.jit
+            def run(key, inputs, score_params):
+                grid = self.encode_grid(inputs)
+                z_cond = self._z_cond(inputs, mask_arr)
+
+                def score_fn(x, t):
+                    return self.score_model.apply(
+                        {"params": score_params}, x, t, z_cond)
+
+                z = conditional_sampler(
+                    key, score_fn, self.sde, grid, mask_arr, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key, tuple(inputs),
+                                               self.score_params))
+
+    def sample_unconditional(self, key, amount: int, **overrides):
+        kw = {**self.sampler_kwargs, **overrides}
+        cache_key = ("zuncond", amount, tuple(sorted(kw.items())))
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def run(key, score_params):
+                z_dim = self.score_model.z_dim or 512
+                z_cond = jnp.zeros((amount, z_dim))
+
+                def score_fn(x, t):
+                    return self.score_model.apply(
+                        {"params": score_params}, x, t, z_cond)
+
+                shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
+                z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key, self.score_params))

@@ -98,3 +98,261 @@ def make_cond_score_fn(score_model, params, z_cond):
         return score_model.apply({"params": params}, x, t, z_cond)
 
     return score_fn
+
+
+def train_contrastive_encoders(
+    rep_models,  # list of per-modality representation encoders
+    gather,  # idx array -> tuple of per-modality input batches
+    n_train: int,
+    *,
+    lr: float = 1e-4,
+    batch_size: int = 64,
+    epochs: int = 10,
+    temperature: float = 0.1,
+    seed: int = 0,
+    ckpt_dir=None,
+    resume: bool = False,
+):
+    """Pretrain the contrastive representation encoders with symmetric
+    InfoNCE over every modality pair.
+
+    The reference loads these encoders from checkpoints whose training
+    script is NOT in the repo (SURVEY.md §2.2;
+    train_lat_celebhq_unet_cont2_cond.py:687-689) - this supplies the
+    standard CLIP-style objective consistent with their projection-head
+    architecture (h_vae_model.py:964-1103).
+    """
+    import time
+
+    import numpy as np
+
+    from ..data.loader import BatchIterator
+    from ..nn.contrastive import info_nce_loss
+    from .checkpoints import CheckpointManager
+
+    key = jax.random.key(seed + 500)
+    sample = gather(np.arange(2))
+    params = []
+    for m, x in zip(rep_models, sample):
+        key, sub = jax.random.split(key)
+        params.append(m.init(sub, x)["params"])
+    params = tuple(params)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    start_epoch = 0
+    if resume and mgr and mgr.exists("resume"):
+        target = {"params": params, "opt_state": opt_state, "epoch": 0,
+                  "key": jax.random.key_data(key)}
+        saved = mgr.restore(target, "resume")
+        params, opt_state = saved["params"], saved["opt_state"]
+        start_epoch = int(saved["epoch"]) + 1
+        key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
+        print(f"resumed contrastive from epoch {start_epoch}", flush=True)
+
+    n_mod = len(rep_models)
+
+    @jax.jit
+    def step(params, opt_state, inputs):
+        def loss_fn(ps):
+            reps = [m.apply({"params": p}, x)
+                    for m, p, x in zip(rep_models, ps, inputs)]
+            total = 0.0
+            for i in range(n_mod):
+                for j in range(i + 1, n_mod):
+                    total = total + info_nce_loss(reps[i], reps[j],
+                                                  temperature)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
+    for epoch in range(start_epoch, epochs):
+        t0, losses = time.time(), []
+        for idx in it.epoch():
+            params, opt_state, loss = step(params, opt_state,
+                                           gather(np.asarray(idx)))
+            losses.append(float(loss))
+        print(f"epoch {epoch}: info_nce={np.mean(losses):.4f} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        if mgr:
+            mgr.save_last({"params": list(params)})
+            mgr.save_best({"params": list(params)}, float(np.mean(losses)))
+            key, _ = jax.random.split(key)
+            mgr._ckpt.save(mgr._dir("resume"), {
+                "params": params, "opt_state": opt_state, "epoch": epoch,
+                "key": jax.random.key_data(key)}, force=True)
+    if mgr:
+        mgr.wait()
+    return {"params": params}
+
+
+def train_cond_score_model(
+    score_model,  # ADMUNet(use_z=True)
+    sde,
+    modalities,  # list of pipeline_celeba.Modality (frozen stage-1 AEs)
+    rep_models,
+    rep_params,  # list of frozen contrastive encoder params
+    gather,
+    n_train: int,
+    latent_hw: int,
+    *,
+    gather_val=None,
+    n_val: int = 0,
+    lr: float,
+    batch_size: int,
+    epochs: int,
+    likelihood_weighting: bool = True,
+    importance_sampling: bool = False,
+    ema_decay: float = 0.999,
+    seed: int = 0,
+    ckpt_dir=None,
+    eval_every=None,
+    eval_fn=None,
+    metrics_path=None,
+    resume: bool = False,
+):
+    """Epoch loop for the z-conditioned score model (the _cond entry point,
+    /root/reference/train_lat_celebhq_unet_cont2_cond.py:452-460, 651-674):
+    random given-subset conditioning per step, EMA copy maintained and
+    checkpointed (the reference's _EMA files, :772-785), full-val DSM keyed
+    best checkpoint, preemption-safe resume."""
+    import time
+
+    import numpy as np
+
+    from ..data.loader import BatchIterator
+    from ..utils.logging import MetricsLogger
+    from .checkpoints import CheckpointManager
+    from .lr import adam_with_mutable_lr
+
+    key = jax.random.key(seed + 700)
+    val_key = jax.random.key(seed + 7919)
+    logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
+    n_mod = len(modalities)
+
+    def encoder(inputs):
+        chans = []
+        for mod, x in zip(modalities, inputs):
+            z = mod.encode(x)
+            chans.append(z.reshape(z.shape[0], latent_hw, latent_hw))
+        return jnp.stack(chans, axis=-1)
+
+    def rep_encoder(inputs):
+        return jnp.stack([
+            m.apply({"params": p}, x)
+            for m, p, x in zip(rep_models, rep_params, inputs)])
+
+    sample = gather(np.arange(2))
+    grid0 = encoder(sample)
+    z0 = rep_encoder(sample)[0]
+    key, init_key = jax.random.split(key)
+    params = score_model.init(
+        init_key, grid0, jnp.full((grid0.shape[0],), 0.5), z0)["params"]
+    tx = adam_with_mutable_lr(lr)
+    opt_state = tx.init(params)
+    ema = params
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    start_epoch = 0
+    if resume and mgr and mgr.exists("last"):
+        ckpt = mgr.restore_raw("last")
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        ema = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        if ckpt.get("key") is not None:
+            key = jax.random.wrap_key_data(jnp.asarray(ckpt["key"]))
+        if ckpt.get("best_metric") is not None:
+            import numpy as _np
+
+            best = float(ckpt["best_metric"])
+            mgr.best_metric = None if _np.isnan(best) else best
+        if mgr.exists("resume_opt"):
+            opt_state = mgr.restore(opt_state, "resume_opt")
+        print(f"resumed cond score from epoch {start_epoch}", flush=True)
+
+    step = jax.jit(make_cond_score_train_step(
+        score_model, sde, encoder, rep_encoder, tx, n_mod=n_mod,
+        likelihood_weighting=likelihood_weighting,
+        importance_sampling=importance_sampling, ema_decay=ema_decay))
+
+    masks = subset_masks(n_mod)
+
+    @jax.jit
+    def val_step(params, inputs, key):
+        subset_key, loss_key = jax.random.split(key)
+        grid = encoder(inputs)
+        reps = rep_encoder(inputs)
+        mask = masks[jax.random.randint(subset_key, (), 0, masks.shape[0])]
+        z_cond = average_condition(reps, mask)
+
+        def score_fn(x, t):
+            return score_model.apply({"params": params}, x, t, z_cond)
+
+        return dsm_loss(loss_key, score_fn, sde, grid,
+                        likelihood_weighting=likelihood_weighting,
+                        importance_sampling=importance_sampling)
+
+    def full_val_loss(params):
+        if gather_val is None or not n_val:
+            return None
+        vals, weights, vkey = [], [], val_key
+        for i in range(0, n_val, batch_size):
+            idx = np.arange(i, min(i + batch_size, n_val))
+            vkey, sub = jax.random.split(vkey)
+            vals.append(float(val_step(params, gather_val(idx), sub)))
+            weights.append(len(idx))
+        return float(np.average(vals, weights=weights))
+
+    pipeline = None
+    if eval_every and eval_fn:
+        from ..pipeline_celeba import ConditionalHeterogeneousPipeline
+
+        pipeline = ConditionalHeterogeneousPipeline(
+            modalities=modalities, score_model=score_model,
+            score_params=ema, sde=sde, latent_hw=latent_hw,
+            rep_models=rep_models, rep_params=rep_params)
+
+    it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
+    for epoch in range(start_epoch, epochs):
+        t0, losses = time.time(), []
+        for idx in it.epoch():
+            key, sub = jax.random.split(key)
+            params, opt_state, ema, loss = step(
+                params, opt_state, ema, gather(np.asarray(idx)), sub)
+            losses.append(float(loss))
+        train_loss = float(np.mean(losses))
+        print(f"epoch {epoch}: cond_dsm={train_loss:.5f} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        val_loss = full_val_loss(params)
+        if val_loss is not None:
+            print(f"epoch {epoch}: val_dsm={val_loss:.5f}", flush=True)
+        logger.log(epoch, cond_dsm=train_loss,
+                   **({"val_dsm": val_loss} if val_loss is not None else {}))
+
+        if pipeline is not None and (epoch + 1) % eval_every == 0:
+            # EMA params drive eval, as the reference samples with the EMA
+            # model (train_lat_celebhq_unet_cont2_cond.py:651-653).
+            pipeline.score_params = ema
+            key, ekey = jax.random.split(key)
+            from .trainer import _flatten_metrics
+
+            logger.log(epoch, **_flatten_metrics(eval_fn(pipeline, ekey)))
+
+        if mgr:
+            import numpy as _np
+
+            ckpt = {"params": params, "ema": ema, "epoch": epoch,
+                    "key": jax.random.key_data(key),
+                    "best_metric": (_np.nan if mgr.best_metric is None
+                                    else mgr.best_metric)}
+            mgr.save_last(ckpt)
+            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_best(ckpt, val_loss if val_loss is not None
+                          else train_loss)
+    if mgr:
+        mgr.wait()
+    return {"params": params, "ema": ema}

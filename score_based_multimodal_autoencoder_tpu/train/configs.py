@@ -20,6 +20,9 @@ class VAEConfig:
     lr: float = 1e-3
     batch_size: int = 256
     epochs: int = 200
+    # Input resolution for the CelebA conv VAEs; 128 = the reference config,
+    # anything else builds the smoke-scaled variant (CPU tests / synthetic).
+    size_in: int = 128
 
     @classmethod
     def polymnist(cls, size_z=64, beta=0.5):
@@ -27,18 +30,21 @@ class VAEConfig:
         return cls("polymnist", size_z, beta, lr=1e-3, batch_size=256, epochs=200)
 
     @classmethod
-    def celeba_image(cls, size_z=256, beta=1.0):
+    def celeba_image(cls, size_z=256, beta=1.0, size_in=128):
         # train_celeba_res_hq.py flags (size 128, z 256).
-        return cls("celeba_image", size_z, beta, lr=1e-3, batch_size=64, epochs=300)
+        return cls("celeba_image", size_z, beta, lr=1e-3, batch_size=64,
+                   epochs=300, size_in=size_in)
 
     @classmethod
-    def celeba_mask(cls, size_z=256, beta=1.0):
-        return cls("celeba_mask", size_z, beta, lr=1e-3, batch_size=64, epochs=300)
+    def celeba_mask(cls, size_z=256, beta=1.0, size_in=128):
+        return cls("celeba_mask", size_z, beta, lr=1e-3, batch_size=64,
+                   epochs=300, size_in=size_in)
 
     @classmethod
-    def celeba_attr(cls, size_z=256, beta=1.0):
+    def celeba_attr(cls, size_z=256, beta=1.0, size_in=128):
         # train_celeba_attr_hq.py (18 visible attrs, MLP VAE).
-        return cls("celeba_attr", size_z, beta, lr=1e-3, batch_size=256, epochs=300)
+        return cls("celeba_attr", size_z, beta, lr=1e-3, batch_size=256,
+                   epochs=300, size_in=size_in)
 
     def build_model(self, dtype=None):
         import jax.numpy as jnp
@@ -54,9 +60,9 @@ class VAEConfig:
         if self.preset == "polymnist":
             return polymnist_vae(self.size_z, dtype)
         if self.preset == "celeba_image":
-            return celeba_image_vae(self.size_z, dtype)
+            return celeba_image_vae(self.size_z, dtype, self.size_in)
         if self.preset == "celeba_mask":
-            return celeba_mask_vae(self.size_z, dtype)
+            return celeba_mask_vae(self.size_z, dtype, self.size_in)
         if self.preset == "celeba_attr":
             return AttributeVAE(size_z=self.size_z, att_size=18, dtype=dtype)
         raise ValueError(self.preset)

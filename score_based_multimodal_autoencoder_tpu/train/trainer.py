@@ -6,12 +6,18 @@ VAE fleet in one vmapped program; stage-2 encodes with the frozen fleet and
 fits the latent score UNet by DSM. Per-epoch wall-clock is printed for
 parity with the reference's TRAINING/VALIDATION TIME TAKEN logs
 (/root/reference/train_polyupd.py:98-101).
+
+Validation follows the reference's protocol of evaluating the FULL val
+split every epoch (/root/reference/train_polyupd.py:110-170) and keying the
+best checkpoint to that loss (/root/reference/train_poly_unet_cont.py:663-690).
+Every trainer supports preemption-safe resume (params, optimizer, epoch,
+PRNG key, best-metric watermark) - a capability absent upstream (SURVEY §5).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +27,28 @@ import optax
 from ..data.loader import BatchIterator, gather_batch_01, to_float01
 from ..diffusion.losses import dsm_loss
 from ..parallel.fleet import VAEFleet
+from ..utils.logging import MetricsLogger
 from .checkpoints import CheckpointManager
 from .lr import ReduceLROnPlateau, adam_with_mutable_lr
 
 
 def _log(msg):
     print(msg, flush=True)
+
+
+def _save_resume(mgr: CheckpointManager, payload: Dict[str, Any]):
+    mgr._ckpt.save(mgr._dir("resume"), payload, force=True)
+
+
+def _load_resume(mgr: CheckpointManager) -> Optional[Dict[str, Any]]:
+    if not mgr.exists("resume"):
+        return None
+    raw = mgr.restore_raw("resume")
+    return jax.tree_util.tree_map(jnp.asarray, raw)
+
+
+def _restore_key(raw_key):
+    return jax.random.wrap_key_data(jnp.asarray(raw_key))
 
 
 def train_vae_fleet(
@@ -41,6 +63,7 @@ def train_vae_fleet(
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
     loss_type: str = "vae",
+    resume: bool = False,
 ) -> Dict[str, Any]:
     n_mod = pixels_train.shape[0]
     tx = adam_with_mutable_lr(lr)
@@ -49,14 +72,30 @@ def train_vae_fleet(
     key, init_key = jax.random.split(key)
     state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
     step = jax.jit(fleet.train_step)
+    eval_step = jax.jit(fleet.eval_loss)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    start_epoch = 0
+    if resume and mgr and mgr.exists("resume"):
+        # Target-based restore: the optimizer state is a typed pytree
+        # (inject_hyperparams namedtuples), so it must restore into the
+        # freshly-initialized structure, not raw dicts.
+        target = {"state": state, "epoch": 0,
+                  "key": jax.random.key_data(key), "best_metric": np.nan}
+        saved = mgr.restore(target, "resume")
+        state = saved["state"]
+        start_epoch = int(saved["epoch"]) + 1
+        key = _restore_key(saved["key"])
+        best = float(saved["best_metric"])
+        mgr.best_metric = None if np.isnan(best) else best
+        _log(f"resumed fleet from epoch {start_epoch}")
 
     n = pixels_train.shape[1]
     train_iter = BatchIterator(
         np.arange(n), batch_size, seed=seed,
         transform=None,
     )
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         totals = []
         for idx in train_iter.epoch():
@@ -69,18 +108,37 @@ def train_vae_fleet(
              f"({time.time() - t0:.1f}s)")
 
         if pixels_val is not None:
-            val_batch = jnp.asarray(to_float01(pixels_val[:, :batch_size]))
+            # Full val split, batched (train_polyupd.py:110-170 evaluates
+            # the entire val loader, not one batch).
             key, sub = jax.random.split(key)
-            val_metrics = jax.jit(fleet.eval_loss)(state, val_batch, sub)
-            val_loss = float(val_metrics["total"].mean())
+            val_loss = _fleet_val_loss(eval_step, state, pixels_val,
+                                       batch_size, sub)
             _log(f"epoch {epoch}: val={val_loss:.4f}")
             if mgr:
                 mgr.save_best(state, val_loss)
         if mgr:
             mgr.save_last(state)
+            _save_resume(mgr, {
+                "state": state, "epoch": epoch,
+                "key": jax.random.key_data(key),
+                "best_metric": (np.nan if mgr.best_metric is None
+                                else mgr.best_metric)})
     if mgr:
         mgr.wait()
     return {"fleet": fleet, "state": state}
+
+
+def _fleet_val_loss(eval_step, state, pixels_val, batch_size, key) -> float:
+    """Mean fleet loss over the ENTIRE val split (all modalities)."""
+    n = pixels_val.shape[1]
+    totals, weights = [], []
+    for i in range(0, n, batch_size):
+        vb = jnp.asarray(to_float01(pixels_val[:, i:i + batch_size]))
+        key, sub = jax.random.split(key)
+        m = eval_step(state, vb, sub)
+        totals.append(float(m["total"].mean()))
+        weights.append(vb.shape[1])
+    return float(np.average(totals, weights=weights))
 
 
 def train_single_vae(
@@ -94,6 +152,7 @@ def train_single_vae(
     epochs: int,
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """One heterogeneous-modality VAE (the CelebA image/mask/attr trainers,
     /root/reference/train_celeba_res_hq.py, train_celeba_mask_hq.py,
@@ -112,8 +171,28 @@ def train_single_vae(
     scheduler = ReduceLROnPlateau(patience=5)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
+    start_epoch = 0
+    if resume and mgr:
+        saved = _load_resume(mgr)
+        if saved is not None:
+            # Optimizer state restores into its own (typed) pytree target;
+            # everything else is plain dict-of-arrays.
+            opt_state = (mgr.restore(state.opt_state, "resume_opt")
+                         if mgr.exists("resume_opt") else state.opt_state)
+            state = state.replace(
+                params=saved["params"], opt_state=opt_state,
+                batch_stats=saved.get("batch_stats"))
+            start_epoch = int(saved["epoch"]) + 1
+            key = _restore_key(saved["key"])
+            if saved.get("best_metric") is not None:
+                mgr.best_metric = float(saved["best_metric"])
+            scheduler.best = (None if np.isnan(float(saved["sched_best"]))
+                              else float(saved["sched_best"]))
+            scheduler.bad_epochs = int(saved["sched_bad"])
+            _log(f"resumed VAE from epoch {start_epoch}")
+
     it = BatchIterator(np.arange(train_data.shape[0]), batch_size, seed=seed)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0, totals = time.time(), []
         for idx in it.epoch():
             batch = jnp.asarray(to_float01(train_data[np.asarray(idx)]))
@@ -123,9 +202,15 @@ def train_single_vae(
         _log(f"epoch {epoch}: train={np.mean(totals):.4f} "
              f"({time.time() - t0:.1f}s)")
         if val_data is not None:
-            vb = jnp.asarray(to_float01(val_data[:batch_size]))
-            key, sub = jax.random.split(key)
-            val = float(eval_step(state, vb, sub)["total"])
+            # Full val split (reference evaluates every val batch,
+            # train_polyupd.py:110-170).
+            vals, weights = [], []
+            for i in range(0, val_data.shape[0], batch_size):
+                vb = jnp.asarray(to_float01(val_data[i:i + batch_size]))
+                key, sub = jax.random.split(key)
+                vals.append(float(eval_step(state, vb, sub)["total"]))
+                weights.append(vb.shape[0])
+            val = float(np.average(vals, weights=weights))
             _log(f"epoch {epoch}: val={val:.4f}")
             new_opt, lr_now = scheduler.step(state.opt_state, val)
             state = state.replace(opt_state=new_opt)
@@ -136,6 +221,15 @@ def train_single_vae(
         if mgr:
             mgr.save_last(
                 {"params": state.params, "batch_stats": state.batch_stats})
+            _save_resume(mgr, {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "epoch": epoch, "key": jax.random.key_data(key),
+                "best_metric": (np.nan if mgr.best_metric is None
+                                else mgr.best_metric),
+                "sched_best": (np.nan if scheduler.best is None
+                               else scheduler.best),
+                "sched_bad": scheduler.bad_epochs})
+            mgr._ckpt.save(mgr._dir("resume_opt"), state.opt_state, force=True)
     if mgr:
         mgr.wait()
     return {"state": state}
@@ -152,6 +246,7 @@ def train_score_model(
     lr: float,
     batch_size: int,
     epochs: int,
+    pixels_val: Optional[np.ndarray] = None,
     likelihood_weighting: bool = True,
     importance_sampling: bool = False,
     seed: int = 0,
@@ -160,9 +255,26 @@ def train_score_model(
     sample_every: Optional[int] = None,
     sample_dir: Optional[str] = None,
     sample_sde=None,
+    eval_every: Optional[int] = None,
+    eval_fn: Optional[Callable] = None,
+    metrics_path: Optional[str] = None,
     resume: bool = False,
 ) -> Dict[str, Any]:
+    """Stage-2 DSM training of the latent score network.
+
+    - ``pixels_val``: full validation split; every epoch the DSM loss is
+      computed over ALL of it with a FIXED PRNG key (same t/noise draws each
+      epoch, so the series is comparable) and ``best`` checkpoints key off
+      that value (the reference saves best-on-validation,
+      /root/reference/train_poly_unet_cont.py:663-690).
+    - ``eval_fn(pipeline, key) -> dict``: quantitative in-training eval hook
+      (the reference's every-500-epoch calc_poly_cond / calc_perf,
+      /root/reference/train_poly_unet_cont.py:692-723,
+      /root/reference/train_lat_celebhq_unet_cont2.py:559-561), run every
+      ``eval_every`` epochs and logged through MetricsLogger.
+    """
     key = jax.random.key(seed + 100)
+    val_key = jax.random.key(seed + 7919)  # fixed: comparable epoch-to-epoch
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
     grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
     key, init_key = jax.random.split(key)
@@ -172,6 +284,7 @@ def train_score_model(
     opt_state = tx.init(params)
     ema = params if ema_decay else None
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+    logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
 
     start_epoch = 0
     if resume and mgr and mgr.exists("last"):
@@ -185,6 +298,12 @@ def train_score_model(
         start_epoch = int(ckpt.get("epoch", -1)) + 1
         if ckpt.get("key") is not None:
             key = jax.random.wrap_key_data(jnp.asarray(ckpt["key"]))
+        if ckpt.get("best_metric") is not None:
+            best = float(ckpt["best_metric"])
+            mgr.best_metric = None if np.isnan(best) else best
+        if mgr.exists("resume_opt"):
+            # Adam moments survive preemption too (typed-pytree restore).
+            opt_state = mgr.restore(opt_state, "resume_opt")
         _log(f"resumed from epoch {start_epoch}")
 
     @jax.jit
@@ -205,13 +324,34 @@ def train_score_model(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
         return params, opt_state, ema, loss
 
+    @jax.jit
+    def val_step(params, pixels, key):
+        latents = fleet.encode(fleet_state, pixels, latent_hw)
+        return dsm_loss(
+            key, lambda x, t: score_model.apply({"params": params}, x, t),
+            sde, latents, likelihood_weighting=likelihood_weighting,
+            importance_sampling=importance_sampling)
+
     pipeline = None
-    if sample_every:
+    if sample_every or (eval_every and eval_fn):
         from ..pipeline import SBMAEPipeline
 
         pipeline = SBMAEPipeline(
             fleet=fleet, fleet_state=fleet_state, score_model=score_model,
             score_params=params, sde=sample_sde or sde, latent_hw=latent_hw)
+
+    def full_val_loss(params) -> Optional[float]:
+        if pixels_val is None:
+            return None
+        n, vals, weights = pixels_val.shape[1], [], []
+        vkey = val_key
+        for i in range(0, n, batch_size):
+            vb = jnp.asarray(gather_batch_01(
+                pixels_val, np.arange(i, min(i + batch_size, n))))
+            vkey, sub = jax.random.split(vkey)
+            vals.append(float(val_step(params, vb, sub)))
+            weights.append(vb.shape[1])
+        return float(np.average(vals, weights=weights))
 
     n = pixels_train.shape[1]
     train_iter = BatchIterator(np.arange(n), batch_size, seed=seed)
@@ -223,11 +363,18 @@ def train_score_model(
             key, sub = jax.random.split(key)
             params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
             losses.append(float(loss))
-        _log(f"epoch {epoch}: dsm={np.mean(losses):.5f} ({time.time()-t0:.1f}s)")
+        train_loss = float(np.mean(losses))
+        _log(f"epoch {epoch}: dsm={train_loss:.5f} ({time.time()-t0:.1f}s)")
+
+        val_loss = full_val_loss(params)
+        if val_loss is not None:
+            _log(f"epoch {epoch}: val_dsm={val_loss:.5f}")
+        logger.log(epoch, dsm=train_loss,
+                   **({"val_dsm": val_loss} if val_loss is not None else {}))
 
         # Periodic qualitative grids (the reference's every-10-epoch
         # unconditional + conditional plots, train_poly_unet_cont.py:300-396).
-        if pipeline is not None and (epoch + 1) % sample_every == 0:
+        if pipeline is not None and sample_every and (epoch + 1) % sample_every == 0:
             from ..utils.images import save_modality_grid
 
             pipeline.score_params = params
@@ -241,11 +388,196 @@ def train_score_model(
             save_modality_grid(np.asarray(cond),
                                f"{sample_dir or '.'}/cond_given0_ep{epoch}.png")
 
+        # Quantitative in-training eval (cond FID / coherence / F1) at
+        # intervals, exactly where the reference calls calc_poly_cond /
+        # calc_perf (train_poly_unet_cont.py:692-723).
+        if pipeline is not None and eval_fn is not None and eval_every \
+                and (epoch + 1) % eval_every == 0:
+            pipeline.score_params = params
+            key, ekey = jax.random.split(key)
+            results = eval_fn(pipeline, ekey)
+            flat = _flatten_metrics(results)
+            logger.log(epoch, **flat)
+
         if mgr:
             ckpt = {"params": params, "ema": ema, "epoch": epoch,
-                    "key": jax.random.key_data(key)}
+                    "key": jax.random.key_data(key),
+                    "best_metric": (np.nan if mgr.best_metric is None
+                                    else mgr.best_metric)}
             mgr.save_last(ckpt)
-            mgr.save_best(ckpt, float(np.mean(losses)))
+            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            # Best keys off validation DSM when a val split exists
+            # (train loss otherwise - small-data fallback).
+            mgr.save_best(ckpt, val_loss if val_loss is not None
+                          else train_loss)
+    if mgr:
+        mgr.wait()
+    return {"params": params, "ema": ema}
+
+
+def _flatten_metrics(tree, prefix="") -> Dict[str, float]:
+    """{'fid': {0: 1.2}} -> {'fid_0': 1.2}; lists by index; Nones and
+    non-numeric leaves (labels like 'given') dropped."""
+    flat: Dict[str, float] = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = enumerate(tree)
+    else:
+        if tree is not None and not isinstance(tree, (str, bool)):
+            try:
+                flat[prefix.rstrip("_")] = float(tree)
+            except (TypeError, ValueError):
+                pass
+        return flat
+    for k, v in items:
+        flat.update(_flatten_metrics(v, f"{prefix}{k}_"))
+    return flat
+
+
+def train_het_score_model(
+    score_model,
+    sde,
+    modalities,  # list of pipeline_celeba.Modality (frozen stage-1 AEs)
+    gather: Callable,  # idx array -> tuple of per-modality input batches
+    n_train: int,
+    latent_hw: int,
+    *,
+    gather_val: Optional[Callable] = None,
+    n_val: int = 0,
+    lr: float,
+    batch_size: int,
+    epochs: int,
+    likelihood_weighting: bool = True,
+    importance_sampling: bool = False,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+    ema_decay: Optional[float] = None,
+    eval_every: Optional[int] = None,
+    eval_fn: Optional[Callable] = None,
+    metrics_path: Optional[str] = None,
+    sampler_kwargs: Optional[Dict[str, Any]] = None,
+    resume: bool = False,
+) -> Dict[str, Any]:
+    """Stage-2 DSM training over heterogeneous frozen AEs (the CelebA path,
+    /root/reference/train_lat_celebhq_unet_cont2.py:376-561): encode the
+    three modalities into the (B, hw, hw, 3) grid, DSM-update the score
+    UNet; full-val loss, best-on-val checkpoints, EMA, preemption-safe
+    resume and the every-``eval_every``-epoch calc_perf hook
+    (train_lat_celebhq_unet_cont2.py:559-561)."""
+    key = jax.random.key(seed + 100)
+    val_key = jax.random.key(seed + 7919)
+    logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
+
+    def encode(inputs):
+        chans = []
+        for mod, x in zip(modalities, inputs):
+            z = mod.encode(x)
+            chans.append(z.reshape(z.shape[0], latent_hw, latent_hw))
+        return jnp.stack(chans, axis=-1)
+
+    grid0 = encode(gather(np.arange(2)))
+    key, init_key = jax.random.split(key)
+    params = score_model.init(
+        init_key, grid0, jnp.full((grid0.shape[0],), 0.5))["params"]
+    tx = adam_with_mutable_lr(lr)
+    opt_state = tx.init(params)
+    ema = params if ema_decay else None
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+
+    start_epoch = 0
+    if resume and mgr and mgr.exists("last"):
+        ckpt = mgr.restore_raw("last")
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        if ckpt.get("ema") is not None and ema is not None:
+            ema = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        if ckpt.get("key") is not None:
+            key = jax.random.wrap_key_data(jnp.asarray(ckpt["key"]))
+        if ckpt.get("best_metric") is not None:
+            best = float(ckpt["best_metric"])
+            mgr.best_metric = None if np.isnan(best) else best
+        if mgr.exists("resume_opt"):
+            opt_state = mgr.restore(opt_state, "resume_opt")
+        _log(f"resumed from epoch {start_epoch}")
+
+    @jax.jit
+    def step(params, opt_state, ema, inputs, key):
+        grid = encode(inputs)
+
+        def loss_fn(p):
+            return dsm_loss(
+                key, lambda x, t: score_model.apply({"params": p}, x, t),
+                sde, grid, likelihood_weighting=likelihood_weighting,
+                importance_sampling=importance_sampling)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
+        return params, opt_state, ema, loss
+
+    @jax.jit
+    def val_step(params, inputs, key):
+        grid = encode(inputs)
+        return dsm_loss(
+            key, lambda x, t: score_model.apply({"params": params}, x, t),
+            sde, grid, likelihood_weighting=likelihood_weighting,
+            importance_sampling=importance_sampling)
+
+    def full_val_loss(params) -> Optional[float]:
+        if gather_val is None or not n_val:
+            return None
+        vals, weights, vkey = [], [], val_key
+        for i in range(0, n_val, batch_size):
+            idx = np.arange(i, min(i + batch_size, n_val))
+            vkey, sub = jax.random.split(vkey)
+            vals.append(float(val_step(params, gather_val(idx), sub)))
+            weights.append(len(idx))
+        return float(np.average(vals, weights=weights))
+
+    pipeline = None
+    if eval_every and eval_fn:
+        from ..pipeline_celeba import HeterogeneousPipeline
+
+        pipeline = HeterogeneousPipeline(
+            modalities=modalities, score_model=score_model,
+            score_params=params, sde=sde, latent_hw=latent_hw,
+            sampler_kwargs=sampler_kwargs or {})
+
+    it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
+    for epoch in range(start_epoch, epochs):
+        t0, losses = time.time(), []
+        for idx in it.epoch():
+            key, sub = jax.random.split(key)
+            params, opt_state, ema, loss = step(
+                params, opt_state, ema, gather(np.asarray(idx)), sub)
+            losses.append(float(loss))
+        train_loss = float(np.mean(losses))
+        _log(f"epoch {epoch}: dsm={train_loss:.5f} ({time.time()-t0:.1f}s)")
+
+        val_loss = full_val_loss(params)
+        if val_loss is not None:
+            _log(f"epoch {epoch}: val_dsm={val_loss:.5f}")
+        logger.log(epoch, dsm=train_loss,
+                   **({"val_dsm": val_loss} if val_loss is not None else {}))
+
+        if pipeline is not None and (epoch + 1) % eval_every == 0:
+            pipeline.score_params = params
+            key, ekey = jax.random.split(key)
+            logger.log(epoch, **_flatten_metrics(eval_fn(pipeline, ekey)))
+
+        if mgr:
+            ckpt = {"params": params, "ema": ema, "epoch": epoch,
+                    "key": jax.random.key_data(key),
+                    "best_metric": (np.nan if mgr.best_metric is None
+                                    else mgr.best_metric)}
+            mgr.save_last(ckpt)
+            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_best(ckpt, val_loss if val_loss is not None
+                          else train_loss)
     if mgr:
         mgr.wait()
     return {"params": params, "ema": ema}

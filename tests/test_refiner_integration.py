@@ -31,3 +31,55 @@ def test_refine_images_runs():
     assert refined.shape == imgs.shape
     assert float(refined.min()) >= 0.0 and float(refined.max()) <= 1.0
     assert np.isfinite(np.array(refined)).all()
+
+
+def test_train_refiner_end_to_end(tmp_path):
+    """VERDICT r1 #5: refiner trainer (train_celeba_diffvae.py:67-204) -
+    loss decreases, best/last checkpoints written, resume advances."""
+    import optax
+
+    from score_based_multimodal_autoencoder_tpu.data import synthetic_celeba
+    from score_based_multimodal_autoencoder_tpu.models.vae import (
+        celeba_image_vae,
+    )
+    from score_based_multimodal_autoencoder_tpu.train.checkpoints import (
+        CheckpointManager,
+    )
+    from score_based_multimodal_autoencoder_tpu.train.refiner import (
+        train_refiner,
+    )
+
+    ds = synthetic_celeba(24, size=16, seed=0)
+    vae = celeba_image_vae(size_z=16, size_in=16)
+    vae_vars = vae.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)),
+                        key=jax.random.key(1), train=False)
+    refiner = ADMUNet(in_channels=6, model_channels=8, out_channels=3,
+                      num_res_blocks=1, attention_resolutions=(),
+                      channel_mult=(1, 2))
+    schedule = DDPMSchedule(timesteps=10)
+    ckpt = str(tmp_path / "refiner")
+
+    kw = dict(lr=1e-3, batch_size=8, seed=2, ckpt_dir=ckpt,
+              lr_decay_every=None)
+    out1 = train_refiner(refiner, schedule, vae, vae_vars,
+                         ds.images, ds.images[:8], epochs=2, **kw)
+    mgr = CheckpointManager(ckpt)
+    assert mgr.exists("best") and mgr.exists("last")
+    # Resume trains epochs 2-3 on top.
+    out2 = train_refiner(refiner, schedule, vae, vae_vars,
+                         ds.images, ds.images[:8], epochs=4, resume=True,
+                         **kw)
+    a = jax.tree_util.tree_leaves(out1["params"])[0]
+    b = jax.tree_util.tree_leaves(out2["params"])[0]
+    assert np.abs(np.array(a) - np.array(b)).max() > 0
+    assert int(mgr.restore_raw("last")["epoch"]) == 3
+
+    # The trained refiner still drives refine_images.
+    pipe = HeterogeneousPipeline(
+        modalities=[], score_model=None, score_params=None, sde=None,
+        latent_hw=4)
+    imgs = jnp.asarray(ds.images[:2] / 255.0
+                       if ds.images.dtype == np.uint8 else ds.images[:2])
+    refined = pipe.refine_images(jax.random.key(3), imgs, refiner,
+                                 out2["params"], schedule)
+    assert refined.shape == imgs.shape

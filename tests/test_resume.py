@@ -1,5 +1,6 @@
 """Preemption-safe resume: train N epochs in two runs == checkpoint state
-advances and the PRNG key round-trips."""
+advances and the PRNG key round-trips. Covers all three trainers
+(score / fleet / single-VAE), SURVEY.md §5 failure-recovery plan."""
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,8 @@ from score_based_multimodal_autoencoder_tpu.train.checkpoints import (
 )
 from score_based_multimodal_autoencoder_tpu.train.trainer import (
     train_score_model,
+    train_single_vae,
+    train_vae_fleet,
 )
 
 
@@ -49,4 +52,48 @@ def test_score_trainer_resume(tmp_path):
     out3 = train_score_model(model, sde, fleet, fleet_state, ds.images, 4,
                              epochs=4, resume=True, **kw)
     c = jax.tree_util.tree_leaves(out3["params"])[0]
+    np.testing.assert_array_equal(np.array(b), np.array(c))
+
+
+def _tiny_vae():
+    return ResVAE(((8, 8, 8, 2), (8, 16, 16, 2)), ((16, 8, 8, 2), (8, 8, 8, 2)),
+                  size_in=16, size_z=16, img_ch=3, variant="poly")
+
+
+def test_fleet_trainer_resume(tmp_path):
+    ds = synthetic_polymnist(n=40, n_mod=2, size=16, seed=1)
+    ckpt = str(tmp_path / "fleet")
+    kw = dict(beta=0.5, lr=1e-3, batch_size=20, seed=5, ckpt_dir=ckpt)
+    out1 = train_vae_fleet(_tiny_vae(), ds.images, ds.images[:, :20],
+                           epochs=2, **kw)
+    out2 = train_vae_fleet(_tiny_vae(), ds.images, ds.images[:, :20],
+                           epochs=4, resume=True, **kw)
+    a = jax.tree_util.tree_leaves(out1["state"]["params"])[0]
+    b = jax.tree_util.tree_leaves(out2["state"]["params"])[0]
+    assert np.abs(np.array(a) - np.array(b)).max() > 0
+    raw = CheckpointManager(ckpt).restore_raw("resume")
+    assert int(raw["epoch"]) == 3
+    # Resuming a completed run is a no-op.
+    out3 = train_vae_fleet(_tiny_vae(), ds.images, ds.images[:, :20],
+                           epochs=4, resume=True, **kw)
+    c = jax.tree_util.tree_leaves(out3["state"]["params"])[0]
+    np.testing.assert_array_equal(np.array(b), np.array(c))
+
+
+def test_single_vae_trainer_resume(tmp_path):
+    ds = synthetic_polymnist(n=40, n_mod=1, size=16, seed=2)
+    data = ds.images[0]
+    ckpt = str(tmp_path / "vae")
+    kw = dict(beta=0.5, lr=1e-3, batch_size=20, seed=6, ckpt_dir=ckpt)
+    out1 = train_single_vae(_tiny_vae(), data, data[:20], epochs=2, **kw)
+    out2 = train_single_vae(_tiny_vae(), data, data[:20], epochs=4,
+                            resume=True, **kw)
+    a = jax.tree_util.tree_leaves(out1["state"].params)[0]
+    b = jax.tree_util.tree_leaves(out2["state"].params)[0]
+    assert np.abs(np.array(a) - np.array(b)).max() > 0
+    raw = CheckpointManager(ckpt).restore_raw("resume")
+    assert int(raw["epoch"]) == 3
+    out3 = train_single_vae(_tiny_vae(), data, data[:20], epochs=4,
+                            resume=True, **kw)
+    c = jax.tree_util.tree_leaves(out3["state"].params)[0]
     np.testing.assert_array_equal(np.array(b), np.array(c))
