@@ -1,12 +1,17 @@
-"""Train the PolyMNIST digit classifier used for coherence scoring.
+"""Train the coherence/eval classifiers.
 
-The reference ships only a (missing) binary checkpoint ``pm_clf_best``
-(/root/reference/.MISSING_LARGE_BLOBS:1); this trains the same PMCLF
-architecture (/root/reference/polymnist_model.py:372-392) in-framework.
-Trains on 28x28 center crops across ALL modalities jointly.
+- PolyMNIST digit classifier (PMCLF): the reference ships only a (missing)
+  binary checkpoint ``pm_clf_best`` (/root/reference/.MISSING_LARGE_BLOBS:1);
+  this trains the same architecture (/root/reference/polymnist_model.py:
+  372-392) on 28x28 center crops across ALL modalities jointly.
+- CelebA attribute classifier (ResCLF, h_vae_model_copy.py:208-235): used
+  for the FGSM adversarial eval (train_lat_celebhq_unet_cont2_cond.py:
+  61-78,643-646); its training script is also absent upstream - trained
+  here with BCE-with-logits over the 18 visible attributes.
 
     python -m score_based_multimodal_autoencoder_tpu.cli.train_classifier \
         --synthetic --epochs 10
+    python -m ...cli.train_classifier --dataset celeba --synthetic
 """
 
 import argparse
@@ -14,10 +19,14 @@ import argparse
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="polymnist",
+                   choices=["polymnist", "celeba"])
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-n", type=int, default=2048)
     p.add_argument("--data-root", default=None)
     p.add_argument("--n-mod", type=int, default=10)
+    p.add_argument("--size", type=int, default=128,
+                   help="celeba input resolution (128 = reference)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=20)
@@ -35,6 +44,10 @@ def main():
     from ..data.loader import BatchIterator, to_float01
     from ..models.classifiers import PolyMNISTClassifier, center_crop_28
     from ..train.checkpoints import CheckpointManager
+
+    if args.dataset == "celeba":
+        _train_celeba_attr_clf(args)
+        return
 
     if args.synthetic:
         from ..data import synthetic_polymnist
@@ -90,6 +103,83 @@ def main():
               f"({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last({"params": params})
         mgr.save_best({"params": params}, 1.0 - acc)
+    mgr.wait()
+
+
+def _train_celeba_attr_clf(args):
+    """ResCLF attribute classifier: image -> 18 attr logits, BCE training,
+    best-on-val-F1 checkpoints (reconstructed from the FGSM call sites,
+    train_lat_celebhq_unet_cont2_cond.py:643-646)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ..data.loader import BatchIterator, to_float01
+    from ..eval.metrics import samples_f1
+    from ..models.classifiers import ResClassifier
+    from ..train.checkpoints import CheckpointManager
+
+    if args.synthetic:
+        from ..data import synthetic_celeba
+
+        tr = synthetic_celeba(args.synthetic_n, size=args.size, seed=args.seed)
+        va = synthetic_celeba(max(32, args.synthetic_n // 8), size=args.size,
+                              seed=args.seed + 1)
+    else:
+        from ..data import load_celeba_hq
+
+        tr = load_celeba_hq(args.data_root, "train")
+        va = load_celeba_hq(args.data_root, "val")
+
+    chans = (((64, 128, 128, 2), (128, 256, 256, 2), (256, 512, 512, 2))
+             if args.size == 128 else ((8, 8, 8, 2), (8, 16, 16, 2)))
+    clf = ResClassifier(chans, size_out=18)
+    variables = clf.init(jax.random.key(0),
+                         jnp.zeros((2, args.size, args.size, 3)), True)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, x, y):
+        def loss_fn(p):
+            logits, upd = clf.apply({"params": p, "batch_stats": stats}, x,
+                                    True, mutable=["batch_stats"])
+            bce = jnp.maximum(logits, 0) - logits * y + jnp.log1p(
+                jnp.exp(-jnp.abs(logits)))
+            return bce.mean(), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    @jax.jit
+    def predict(params, stats, x):
+        return jax.nn.sigmoid(clf.apply({"params": params,
+                                         "batch_stats": stats}, x))
+
+    mgr = CheckpointManager(args.ckpt_dir)
+    it = BatchIterator(np.arange(len(tr)), args.batch_size, seed=args.seed)
+    vx = jnp.asarray(to_float01(va.images[:256]))
+    vy = jnp.asarray(va.visible_attrs()[:256])
+    for epoch in range(args.epochs):
+        t0, losses = time.time(), []
+        for idx in it.epoch():
+            i = np.asarray(idx)
+            x = jnp.asarray(to_float01(tr.images[i]))
+            y = jnp.asarray(tr.visible_attrs()[i])
+            params, stats, opt_state, loss = step(params, stats, opt_state,
+                                                  x, y)
+            losses.append(float(loss))
+        f1 = float(samples_f1(predict(params, stats, vx), vy, 0.5))
+        print(f"epoch {epoch}: bce={np.mean(losses):.4f} val_f1={f1:.3f} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        mgr.save_last({"params": params, "batch_stats": stats})
+        mgr.save_best({"params": params, "batch_stats": stats}, 1.0 - f1)
     mgr.wait()
 
 

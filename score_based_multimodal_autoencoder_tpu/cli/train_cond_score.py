@@ -126,8 +126,10 @@ def main():
             batch_size=args.batch_size, epochs=args.pretrain_contrastive,
             seed=args.seed, ckpt_dir=args.contrastive_ckpt,
             resume=args.resume)
-    rep_params = CheckpointManager(
-        args.contrastive_ckpt).restore_raw("last")["params"]
+    raw = CheckpointManager(args.contrastive_ckpt).restore_raw("last")
+    rep_variables = [
+        {"params": p, "batch_stats": s}
+        for p, s in zip(raw["params"], raw["batch_stats"])]
 
     score_model = ADMUNet(
         in_channels=3, model_channels=args.model_channels, out_channels=3,
@@ -149,7 +151,7 @@ def main():
                 batch_size=min(64, args.eval_amount))}
 
     train_cond_score_model(
-        score_model, sde_cfg.build_sde(), mods, rep_models, rep_params,
+        score_model, sde_cfg.build_sde(), mods, rep_models, rep_variables,
         make_gather(tr), len(tr), hw,
         gather_val=make_gather(va), n_val=len(va),
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,

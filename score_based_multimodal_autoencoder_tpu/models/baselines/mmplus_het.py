@@ -108,22 +108,21 @@ class HeterogeneousMMVAEPlus(nn.Module):
 
     def cond_gen(self, inputs, present_mods, key, train: bool = False):
         """Random present source row of the cross matrix
-        (mmplus_model_cel.py cond_gen, same as the PolyMNIST variant)."""
+        (mmplus_model_cel.py cond_gen, same as the PolyMNIST variant).
+
+        ``present_mods`` may be a traced index array (works under jit: the
+        source row is gathered, never converted to a Python int)."""
         sel_key, rec_key = jax.random.split(key)
         out = self(inputs, rec_key, K=1, train=train)
         present = jnp.asarray(present_mods, jnp.int32)
-        idx = int(present[0]) if present.shape[0] == 1 else None
-        if idx is None:
-            # traced random choice among present sources
-            choice = jax.random.randint(sel_key, (), 0, present.shape[0])
-            idx = present[choice]
-            outs = []
-            for d in range(self.n_mod):
-                stacked = jnp.stack([out["recon"][e][d][0]
-                                     for e in range(self.n_mod)])
-                outs.append(stacked[idx])
-            return tuple(outs)
-        return tuple(out["recon"][idx][d][0] for d in range(self.n_mod))
+        choice = jax.random.randint(sel_key, (), 0, present.shape[0])
+        idx = present[choice]
+        outs = []
+        for d in range(self.n_mod):
+            stacked = jnp.stack([out["recon"][e][d][0]
+                                 for e in range(self.n_mod)])
+            outs.append(stacked[idx])
+        return tuple(outs)
 
 
 def m_iwae_het(model_out, inputs, *, beta: float = 1.0, latent_dim_w: int = 128,

@@ -72,6 +72,9 @@ class SBMAEPipeline:
     def sample_unconditional(self, key, amount: int, **overrides):
         """Returns (n_mod, amount, H, W, C) decoded images in [0, 1]."""
         kw = {**self.sampler_kwargs, **overrides}
+        # noise_obs / noise_obs_mode only exist on the conditional sampler.
+        kw.pop("noise_obs", None)
+        kw.pop("noise_obs_mode", None)
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 

@@ -34,6 +34,15 @@ class Modality:
         return self.model.apply(self.variables, z, method=self.model.decoder)
 
 
+def _drop_cond_only(sampler_kwargs, overrides):
+    """noise_obs / noise_obs_mode only exist on the conditional sampler;
+    strip them for unconditional programs."""
+    kw = {**sampler_kwargs, **overrides}
+    kw.pop("noise_obs", None)
+    kw.pop("noise_obs_mode", None)
+    return kw
+
+
 @dataclass
 class HeterogeneousPipeline:
     modalities: List[Modality]
@@ -112,7 +121,7 @@ class HeterogeneousPipeline:
         return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
     def sample_unconditional(self, key, amount: int, **overrides):
-        kw = {**self.sampler_kwargs, **overrides}
+        kw = _drop_cond_only(self.sampler_kwargs, overrides)
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 
@@ -139,14 +148,14 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
     """
 
     rep_models: Sequence = ()
-    rep_params: Sequence = ()
+    rep_variables: Sequence = ()
 
     def _z_cond(self, inputs, observed_mask):
         from .nn.contrastive import average_condition
 
         reps = jnp.stack([
-            m.apply({"params": p}, x)
-            for m, p, x in zip(self.rep_models, self.rep_params, inputs)])
+            m.apply(v, x)
+            for m, v, x in zip(self.rep_models, self.rep_variables, inputs)])
         return average_condition(reps, jnp.asarray(observed_mask))
 
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
@@ -174,7 +183,7 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
                                                self.score_params))
 
     def sample_unconditional(self, key, amount: int, **overrides):
-        kw = {**self.sampler_kwargs, **overrides}
+        kw = _drop_cond_only(self.sampler_kwargs, overrides)
         cache_key = ("zuncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 

@@ -132,21 +132,25 @@ def train_contrastive_encoders(
 
     key = jax.random.key(seed + 500)
     sample = gather(np.arange(2))
-    params = []
+    params, stats = [], []
     for m, x in zip(rep_models, sample):
         key, sub = jax.random.split(key)
-        params.append(m.init(sub, x)["params"])
-    params = tuple(params)
+        v = m.init(sub, x, train=True)
+        params.append(v["params"])
+        stats.append(v.get("batch_stats", {}))
+    params, stats = tuple(params), tuple(stats)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
     start_epoch = 0
     if resume and mgr and mgr.exists("resume"):
-        target = {"params": params, "opt_state": opt_state, "epoch": 0,
+        target = {"params": params, "batch_stats": stats,
+                  "opt_state": opt_state, "epoch": 0,
                   "key": jax.random.key_data(key)}
         saved = mgr.restore(target, "resume")
-        params, opt_state = saved["params"], saved["opt_state"]
+        params, stats = saved["params"], saved["batch_stats"]
+        opt_state = saved["opt_state"]
         start_epoch = int(saved["epoch"]) + 1
         key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
         print(f"resumed contrastive from epoch {start_epoch}", flush=True)
@@ -154,40 +158,49 @@ def train_contrastive_encoders(
     n_mod = len(rep_models)
 
     @jax.jit
-    def step(params, opt_state, inputs):
+    def step(params, stats, opt_state, inputs):
         def loss_fn(ps):
-            reps = [m.apply({"params": p}, x)
-                    for m, p, x in zip(rep_models, ps, inputs)]
+            reps, new_stats = [], []
+            for m, p, s, x in zip(rep_models, ps, stats, inputs):
+                out, upd = m.apply(
+                    {"params": p, "batch_stats": s}, x, train=True,
+                    deterministic=True, mutable=["batch_stats"])
+                reps.append(out)
+                new_stats.append(upd["batch_stats"])
             total = 0.0
             for i in range(n_mod):
                 for j in range(i + 1, n_mod):
                     total = total + info_nce_loss(reps[i], reps[j],
                                                   temperature)
-            return total
+            return total, tuple(new_stats)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), new_stats, opt_state,
+                loss)
 
     it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            params, opt_state, loss = step(params, opt_state,
-                                           gather(np.asarray(idx)))
+            params, stats, opt_state, loss = step(params, stats, opt_state,
+                                                  gather(np.asarray(idx)))
             losses.append(float(loss))
         print(f"epoch {epoch}: info_nce={np.mean(losses):.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         if mgr:
-            mgr.save_last({"params": list(params)})
-            mgr.save_best({"params": list(params)}, float(np.mean(losses)))
+            ckpt = {"params": list(params), "batch_stats": list(stats)}
+            mgr.save_last(ckpt)
+            mgr.save_best(ckpt, float(np.mean(losses)))
             key, _ = jax.random.split(key)
             mgr._ckpt.save(mgr._dir("resume"), {
-                "params": params, "opt_state": opt_state, "epoch": epoch,
+                "params": params, "batch_stats": stats,
+                "opt_state": opt_state, "epoch": epoch,
                 "key": jax.random.key_data(key)}, force=True)
     if mgr:
         mgr.wait()
-    return {"params": params}
+    return {"params": params, "batch_stats": stats}
 
 
 def train_cond_score_model(
@@ -195,7 +208,8 @@ def train_cond_score_model(
     sde,
     modalities,  # list of pipeline_celeba.Modality (frozen stage-1 AEs)
     rep_models,
-    rep_params,  # list of frozen contrastive encoder params
+    rep_variables,  # list of frozen contrastive encoder variables
+                    # ({"params", "batch_stats"} each)
     gather,
     n_train: int,
     latent_hw: int,
@@ -243,8 +257,8 @@ def train_cond_score_model(
 
     def rep_encoder(inputs):
         return jnp.stack([
-            m.apply({"params": p}, x)
-            for m, p, x in zip(rep_models, rep_params, inputs)])
+            m.apply(v, x)
+            for m, v, x in zip(rep_models, rep_variables, inputs)])
 
     sample = gather(np.arange(2))
     grid0 = encoder(sample)
@@ -314,7 +328,7 @@ def train_cond_score_model(
         pipeline = ConditionalHeterogeneousPipeline(
             modalities=modalities, score_model=score_model,
             score_params=ema, sde=sde, latent_hw=latent_hw,
-            rep_models=rep_models, rep_params=rep_params)
+            rep_models=rep_models, rep_variables=rep_variables)
 
     it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):

@@ -139,3 +139,23 @@ def test_data_parallel_jit_equivalence():
     a = jax.tree_util.tree_leaves(out_a.params)[0]
     b = jax.tree_util.tree_leaves(out_b.params)[0]
     np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-6)
+
+
+def test_initialize_distributed_passthrough(monkeypatch):
+    """Multi-host bring-up wrapper (SURVEY §2.8): auto-detect on TPU pods
+    (no kwargs) vs explicit coordinator wiring - exercised against a mocked
+    jax.distributed.initialize (real multi-host is untestable in CI)."""
+    import jax
+
+    from score_based_multimodal_autoencoder_tpu.parallel.mesh import (
+        initialize_distributed,
+    )
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    initialize_distributed()
+    assert calls[-1] == {}  # TPU-pod auto-detection path
+    initialize_distributed("10.0.0.1:1234", num_processes=4, process_id=2)
+    assert calls[-1] == {"coordinator_address": "10.0.0.1:1234",
+                         "num_processes": 4, "process_id": 2}
