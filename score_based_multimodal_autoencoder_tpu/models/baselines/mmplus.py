@@ -63,6 +63,12 @@ class MMVAEPlus(nn.Module):
     img_ch: int = 3
     dec_scale: float = 0.75
     learn_prior_w: bool = True
+    # 'res' = the house ResVAE nets (functional parity); 'mmplus' = the
+    # reference's MMVAE+-specific dual-branch ResnetBlock nets
+    # (h_vae_model_copy.py:826-1084, see mmplus_nets.py).
+    arch: str = "res"
+    nf: int = 64
+    nf_max: int = 1024
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -70,18 +76,36 @@ class MMVAEPlus(nn.Module):
         return self.latent_dim_w + self.latent_dim_z
 
     def setup(self):
-        VEnc = nn.vmap(
-            ResEncoder, in_axes=(0, None), out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True}, axis_size=self.n_mod)
-        VDec = nn.vmap(
-            ResDecoder, in_axes=(0, None), out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0},
-            split_rngs={"params": True}, axis_size=self.n_mod)
-        self.encs = VEnc(self.enc_channel_list, self.size_in, self.dim_u,
-                         dtype=self.dtype)
-        self.decs = VDec(self.dec_channel_list, self.size_in, self.dim_u,
-                         self.img_ch, dtype=self.dtype)
+        if self.arch == "mmplus":
+            from .mmplus_nets import MMPlusDecoder, MMPlusEncoder
+
+            VEnc = nn.vmap(
+                MMPlusEncoder, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True}, axis_size=self.n_mod)
+            VDec = nn.vmap(
+                MMPlusDecoder, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True}, axis_size=self.n_mod)
+            s0 = max(1, self.size_in // 4)
+            self.encs = VEnc(self.size_in, self.dim_u, s0=s0, nf=self.nf,
+                             nf_max=self.nf_max, dtype=self.dtype)
+            self.decs = VDec(self.size_in, self.dim_u, self.img_ch, s0=s0,
+                             nf=self.nf, nf_max=self.nf_max,
+                             dtype=self.dtype)
+        else:
+            VEnc = nn.vmap(
+                ResEncoder, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True}, axis_size=self.n_mod)
+            VDec = nn.vmap(
+                ResDecoder, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True}, axis_size=self.n_mod)
+            self.encs = VEnc(self.enc_channel_list, self.size_in, self.dim_u,
+                             dtype=self.dtype)
+            self.decs = VDec(self.dec_channel_list, self.size_in, self.dim_u,
+                             self.img_ch, dtype=self.dtype)
         # Prior scale raw params: pu fixed zeros, pw optionally learnable.
         self._pw_raw = self.param(
             "pw_raw", nn.initializers.zeros, (1, self.latent_dim_w))

@@ -8,6 +8,11 @@
   (see ``train.classifier_trainer``).
 - ``ResClassifier``: conv attribute classifier used for CelebA F1 and the
   FGSM adversarial eval (ResCLF, /root/reference/h_vae_model_copy.py:208-235).
+- ``MoPoEImageClassifier``: the MoPoE-paper CelebA attribute classifier
+  (ClfImg + FeatureExtractorImg, h_vae_model_copy.py:254-342) - weighted
+  pre-activation residual blocks (a*residual + b*out), channel dropout,
+  64x64 inputs -> 18 logits. ``Res50Classifier`` lives in
+  ``models/resnet50.py``.
 """
 
 from __future__ import annotations
@@ -43,6 +48,73 @@ def center_crop_28(x):
     if x.shape[1] == 28:
         return x
     return x[:, 2:30, 2:30, :]
+
+
+class WeightedResBlock(nn.Module):
+    """Pre-activation residual block with weighted skip ``a*res + b*out``
+    and channel (2d) dropout (ResidualBlock2dConv,
+    h_vae_model_copy.py:254-296). ``padding`` is the torch conv2 padding;
+    the 1x1/k-conv pair is bias-free like the original."""
+
+    out_ch: int
+    kernel: int = 4
+    stride: int = 2
+    padding: int = 1
+    a: float = 2.0
+    b: float = 0.3
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(x)
+        h = nn.Conv(cin, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(nn.relu(h))
+        h = nn.Dropout(self.dropout, deterministic=not train,
+                       broadcast_dims=(1, 2), rng_collection="dropout")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(h)
+        h = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=self.padding,
+                    use_bias=False, dtype=self.dtype, name="conv2")(nn.relu(h))
+        h = nn.Dropout(self.dropout, deterministic=not train,
+                       broadcast_dims=(1, 2), rng_collection="dropout")(h)
+        res = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                      strides=(self.stride, self.stride),
+                      padding=self.padding, dtype=self.dtype,
+                      name="down_conv")(x)
+        res = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="down_bn")(res)
+        return self.a * res + self.b * h
+
+
+class MoPoEImageClassifier(nn.Module):
+    """ClfImg (h_vae_model_copy.py:327-342): FeatureExtractorImg (stem conv
+    + 4 weighted residual blocks, widths 128..640) -> dropout ->
+    Linear(5*128, 18). Geometry matches the original on 64x64 inputs
+    (stem p=2, blocks k4 s2 p(1,1,1,0) -> 1x1 map)."""
+
+    size_out: int = 18
+    width: int = 128
+    a: float = 2.0
+    b: float = 0.3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        x = nn.Conv(w, (3, 3), strides=(2, 2), padding=2, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        for i, pad in enumerate((1, 1, 1, 0)):
+            x = WeightedResBlock(
+                (i + 2) * w, padding=pad, a=self.a, b=self.b,
+                dtype=self.dtype, name=f"resblock{i + 1}")(x, train)
+        x = nn.Dropout(0.5, deterministic=not train,
+                       rng_collection="dropout")(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.size_out, dtype=self.dtype, name="linear")(x)
 
 
 class ResClassifier(nn.Module):

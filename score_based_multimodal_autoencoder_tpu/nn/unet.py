@@ -85,12 +85,20 @@ class LatentUNet(nn.Module):
     # (ops/group_norm.py); param trees are identical either way, so
     # checkpoints from the unfused path load unchanged.
     fused_norms: bool = False
+    # Run ConvNeXt depthwise 7x7 convs as per-channel HWxHW matmuls on the
+    # MXU (identical math + param tree; nn/blocks.py DepthwiseConvMXU).
+    mxu_depthwise: bool = False
+    # Optional global-z conditioning injected at the bottleneck (UnetZ,
+    # unet_model.py:1005-1135): z -> Dense(mid)/GELU/Dense(mid), added to
+    # the feature map after mid_block1 AND after mid_block2.
+    z_dim: int | None = None
 
     def _block(self, dim_in, dim_out, name):
         if self.use_convnext:
             return ConvNeXtBlock(
                 dim=dim_in, dim_out=dim_out, mult=self.convnext_mult,
-                dtype=self.dtype, fused_norms=self.fused_norms, name=name,
+                dtype=self.dtype, fused_norms=self.fused_norms,
+                mxu_depthwise=self.mxu_depthwise, name=name,
             )
         return ResnetBlock(
             dim_out=dim_out, groups=self.resnet_block_groups,
@@ -98,7 +106,7 @@ class LatentUNet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, time=None):
+    def __call__(self, x, time=None, z=None):
         x, (ph, pw) = _pad_to_pow2(x)
         orig_dtype = x.dtype
         x = x.astype(self.dtype)
@@ -127,10 +135,20 @@ class LatentUNet(nn.Module):
                 x = downsample(dim_out, self.dtype, name=f"down{i}_down")(x)
 
         mid_dim = dims[-1]
+        zb = None
+        if self.z_dim is not None and z is not None:
+            zb = nn.Dense(mid_dim, dtype=self.dtype, name="z_fc1")(
+                z.astype(self.dtype))
+            zb = nn.Dense(mid_dim, dtype=self.dtype, name="z_fc2")(nn.gelu(zb))
+            zb = zb[:, None, None, :]
         x = self._block(mid_dim, mid_dim, "mid_block1")(x, t)
+        if zb is not None:
+            x = x + zb
         x = PreNormResidual(Attention(dtype=self.dtype),
                             fused_norms=self.fused_norms, name="mid_attn")(x)
         x = self._block(mid_dim, mid_dim, "mid_block2")(x, t)
+        if zb is not None:
+            x = x + zb
 
         for j in range(n_res - 1):
             # Mirrors reversed(in_out[1:]) of the reference

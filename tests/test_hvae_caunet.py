@@ -67,3 +67,83 @@ def test_sigma_normalized_unet():
     out = net.apply(params, x, sigma)
     out2 = net.apply(params, x, sigma * 2)
     np.testing.assert_allclose(np.array(out), np.array(out2) * 2, rtol=1e-5)
+
+
+def test_deep_cross_attention_unet_shapes():
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        DeepCrossAttentionUNet,
+    )
+
+    net = DeepCrossAttentionUNet(n_mod=3, size_z=16, dim=12, dim_mults=(1, 2),
+                                 n_block=2)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 3))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(1), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 4, 4, 3)
+    assert np.isfinite(np.array(out)).all()
+    # non-cross variant (all-ones mask) also runs
+    net2 = DeepCrossAttentionUNet(n_mod=3, size_z=16, dim=12,
+                                  dim_mults=(1, 2), n_block=1, cross=False)
+    p2 = net2.init(jax.random.key(2), x, t)
+    assert net2.apply(p2, x, t).shape == (2, 4, 4, 3)
+
+
+def test_energy_unet():
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        EnergyUNet,
+    )
+
+    net = EnergyUNet(dim=12, channels=2, size_z=16, dim_mults=(1, 2))
+    x = jax.random.normal(jax.random.key(0), (3, 4, 4, 2))
+    t = jnp.full((3,), 0.5)
+    params = net.init(jax.random.key(1), x, t)
+    score, energy = net.apply(params, x, t)
+    assert score.shape == x.shape
+    assert energy.shape == (3, 1)
+    assert np.isfinite(np.array(energy)).all()
+
+
+def test_nodown_unet_preserves_resolution():
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        NoDownUNet,
+    )
+
+    net = NoDownUNet(dim=12, channels=2, dim_mults=(1, 2))
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 2))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(1), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 4, 4, 2)
+    assert np.isfinite(np.array(out)).all()
+
+
+def test_recon_cond_unet():
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        ReconCondUNet,
+    )
+
+    net = ReconCondUNet(dim=12, channels=2, dim_mults=(1, 2))
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 2))
+    xh = jax.random.normal(jax.random.key(1), (2, 4, 4, 2))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(2), x, xh, t)
+    out = net.apply(params, x, xh, t)
+    assert out.shape == (2, 4, 4, 2)
+    # conditioning on a different x_hat must change the output
+    out2 = net.apply(params, x, xh + 1.0, t)
+    assert np.abs(np.array(out - out2)).max() > 1e-5
+
+
+def test_latent_unet_z_injection():
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    net = LatentUNet(dim=12, channels=2, dim_mults=(1, 2), z_dim=8)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 2))
+    t = jnp.full((2,), 0.5)
+    z = jax.random.normal(jax.random.key(1), (2, 8))
+    params = net.init(jax.random.key(2), x, t, z)
+    out = net.apply(params, x, t, z)
+    assert out.shape == (2, 4, 4, 2)
+    out2 = net.apply(params, x, t, z + 1.0)
+    assert np.abs(np.array(out - out2)).max() > 1e-5

@@ -118,3 +118,46 @@ def test_generate_and_cond_gen(mmplus_setup):
                        method=model.cond_gen)
     assert cond.shape == (2, 4, 16, 16, 3)
     assert np.isfinite(np.array(cond)).all()
+
+
+def test_mmplus_arch_nets():
+    """The MMVAE+-specific dual-branch ResnetBlock nets
+    (h_vae_model_copy.py:826-1084) slot into the same model via
+    ``arch='mmplus'``: forward matrix, IWAE loss and generation all run."""
+    model = MMVAEPlus(n_mod=2, latent_dim_w=4, latent_dim_z=4, size_in=16,
+                      img_ch=3, arch="mmplus", nf=8, nf_max=32)
+    x = jax.random.uniform(jax.random.key(0), (2, 4, 16, 16, 3))
+    variables = model.init(jax.random.key(1), x, jax.random.key(2), K=2,
+                           train=True)
+    out = model.apply(variables, x, jax.random.key(3), 2, True)
+    assert out["recon_locs"].shape == (2, 2, 2, 4, 16, 16, 3)
+    assert np.isfinite(np.asarray(out["recon_locs"])).all()
+    loss = m_iwae(out, x, latent_dim_w=4)
+    assert np.isfinite(float(loss))
+    gen = model.apply(variables, jax.random.key(4), 3, False,
+                      method=model.generate)
+    assert gen.shape == (2, 3, 16, 16, 3)
+
+
+def test_mmplus_encoder_branch_independence():
+    """The w branch must not see the z branch's params: perturbing the
+    z-branch conv leaves mu_w unchanged (dual independent encoders,
+    h_vae_model_copy.py:838-858)."""
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus_nets import (
+        MMPlusEncoder,
+    )
+
+    enc = MMPlusEncoder(size_in=16, size_z=8, s0=4, nf=8, nf_max=16)
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+    variables = enc.init(jax.random.key(1), x)
+    mu, lv = enc.apply(variables, x)
+    assert mu.shape == lv.shape == (2, 8)
+    import flax
+
+    p = flax.core.unfreeze(variables["params"])
+    p["branch_z"]["conv_img"]["kernel"] = (
+        p["branch_z"]["conv_img"]["kernel"] + 1.0)
+    mu2, _ = enc.apply({"params": p}, x)
+    np.testing.assert_array_equal(np.asarray(mu[:, :4]),
+                                  np.asarray(mu2[:, :4]))
+    assert np.abs(np.asarray(mu[:, 4:] - mu2[:, 4:])).max() > 1e-4

@@ -107,3 +107,25 @@ def test_batchnorm_running_stats_update():
     assert any(
         np.abs(np.array(a) - np.array(b)).max() > 0 for a, b in zip(after, before)
     )
+
+
+def test_mopoe_image_classifier():
+    """ClfImg geometry (h_vae_model_copy.py:327-342): 64x64 -> 1x1x640 ->
+    18 logits; dropout active only in train mode."""
+    import jax
+
+    from score_based_multimodal_autoencoder_tpu.models.classifiers import (
+        MoPoEImageClassifier,
+    )
+
+    clf = MoPoEImageClassifier(size_out=18, width=16)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    variables = clf.init(
+        {"params": jax.random.key(1), "dropout": jax.random.key(2)}, x, True)
+    out, _ = clf.apply(variables, x, True,
+                       rngs={"dropout": jax.random.key(3)},
+                       mutable=["batch_stats"])
+    assert out.shape == (2, 18)
+    eval_a = clf.apply(variables, x, False)
+    eval_b = clf.apply(variables, x, False)
+    np.testing.assert_array_equal(np.asarray(eval_a), np.asarray(eval_b))
