@@ -7,9 +7,9 @@ steps (the reference's PolyMNIST setting).
 
 - OURS: the whole N-step trajectory is ONE fused ``lax.scan`` program
   (diffusion/samplers.py) running entirely on device. Swept over batch size
-  {256, 512, 1024} and the TPU tuning knobs (fused Pallas GroupNorm,
-  MXU-aligned 128-wide stem - ScoreConfig.polymnist_tpu); the best
-  samples/s/chip wins.
+  {256, 1024, 2048} and the TPU tuning knobs (depthwise-7x7 as MXU
+  matmuls, MXU-aligned 128-wide stem, fused Pallas GroupNorm -
+  ScoreConfig.polymnist_tpu); the best samples/s/chip wins.
 - BASELINE PROXY: the reference's sampler is a host Python loop issuing one
   dispatch per step (/root/reference/train_poly_unet_cont.py:446-463).
   Reference hardware (CUDA GPU) is unavailable and the repo publishes no
@@ -59,10 +59,10 @@ def peak_flops():
     return 197e12  # assume v5e
 
 
-def build(init_dim, fused):
+def build(init_dim, fused, mxu=False):
     model = LatentUNet(dim=128, channels=CH, dim_mults=(1, 2, 2, 2),
                        init_dim=init_dim, fused_norms=fused,
-                       dtype=jnp.bfloat16)
+                       mxu_depthwise=mxu, dtype=jnp.bfloat16)
     x0 = jnp.zeros((2, HW, HW, CH), jnp.float32)
     t0 = jnp.full((2,), 0.5, jnp.float32)
     params = model.init(jax.random.key(0), x0, t0)
@@ -152,22 +152,24 @@ def main():
     log(f"device: {jax.devices()[0].device_kind} x{n_dev}, "
         f"peak {peak/1e12:.0f} TF/s/chip")
 
-    # (label, init_dim, fused_norms, batch). init_dim None = reference's
-    # dim//3*2 = 85; 128 = the MXU-aligned polymnist_tpu preset stem.
+    # (label, init_dim, fused_norms, mxu_depthwise, batch). init_dim None =
+    # reference's dim//3*2 = 85; 128 = the MXU-aligned polymnist_tpu stem.
+    # mxu = depthwise 7x7 as per-channel HWxHW matmuls (identical math).
     variants = [
-        ("ref-b256", None, False, 256),
-        ("fused-b256", None, True, 256),
-        ("fused-b1024", None, True, 1024),
-        ("ref-b1024", None, False, 1024),
-        ("tpu128-b1024", 128, True, 1024),
+        ("ref-b256", None, False, False, 256),
+        ("ref-b1024", None, False, False, 1024),
+        ("mxu-b1024", None, False, True, 1024),
+        ("tpu128-b1024", 128, False, True, 1024),
+        ("tpu128f-b1024", 128, True, True, 1024),
+        ("tpu128-b2048", 128, False, True, 2048),
     ]
 
     models = {}
     best = None
-    for label, init_dim, fused, batch in variants:
-        mkey = (init_dim, fused)
+    for label, init_dim, fused, mxu, batch in variants:
+        mkey = (init_dim, fused, mxu)
         if mkey not in models:
-            models[mkey] = build(init_dim, fused)
+            models[mkey] = build(init_dim, fused, mxu)
         model, params = models[mkey]
         sec = time_fused(model, params, batch, sde)
         sps = batch / sec
@@ -176,12 +178,12 @@ def main():
         log(f"{label:>14}: {sec:.3f}s/batch -> {sps:8.1f} samples/s "
             f"(mfu {mfu*100:.1f}%)")
         cand = {"label": label, "init_dim": init_dim, "fused": fused,
-                "batch": batch, "sps": sps, "mfu": mfu}
+                "mxu": mxu, "batch": batch, "sps": sps, "mfu": mfu}
         if best is None or sps > best["sps"]:
             best = cand
 
     # Baseline proxy at the WINNING model/batch (same-for-same comparison).
-    model, params = models[(best["init_dim"], best["fused"])]
+    model, params = models[(best["init_dim"], best["fused"], best["mxu"])]
     base_sec = time_python_loop(model, params, best["batch"], sde)
     base_sps = best["batch"] / base_sec
     log(f"python-loop ({best['label']}): med {base_sec:.3f}s/batch -> "

@@ -90,6 +90,61 @@ def _gn_act(x, groups, name, dtype, act="none", fused=False):
     return h
 
 
+class DepthwiseConvMXU(nn.Module):
+    """Depthwise KxK conv executed as a per-channel (HW x HW) matmul.
+
+    TPU's conv emitters lower depthwise convolutions onto the VPU
+    (EmitDepthwiseInputBatchInSublanes), which at the latent grids' tiny
+    spatial extents runs ~10-20x below the chip's matmul throughput (the
+    single most expensive op family in the sampled HLO profile). For small
+    grids (H*W <= ``max_positions``) the identical linear map is a batched
+    ``(B, HW) x (HW, HW)`` contraction per channel - MXU work. The weights
+    are scattered into the (HW, HW) band matrix at trace time from the SAME
+    (K, K, 1, C) kernel parameter ``nn.Conv(feature_group_count=C)`` uses,
+    so param trees and math (up to float reassociation) are unchanged, and
+    larger grids fall back to the regular conv path.
+    """
+
+    features: int
+    kernel_size: int = 7
+    max_positions: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        B, H, W, C = x.shape
+        K = self.kernel_size
+        pad = K // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, K, 1, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if H * W > self.max_positions:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+            return y + bias.astype(self.dtype)
+        N = H * W
+        # Static (N, N) tap map: out position p reads in position q through
+        # kernel tap (qy-py+pad, qx-px+pad) when that offset is in range.
+        py, px = np.divmod(np.arange(N), W)
+        # band[q, p] holds kernel[qy-py+pad, qx-px+pad]: axis 0 = input
+        # position q, axis 1 = output position p.
+        dy = py[:, None] - py[None, :] + pad
+        dx = px[:, None] - px[None, :] + pad
+        valid = (0 <= dy) & (dy < K) & (0 <= dx) & (dx < K)
+        taps = np.where(valid, dy * K + dx, 0)
+        kf = kernel.reshape(K * K, C).astype(self.dtype)
+        band = jnp.where(jnp.asarray(valid)[:, :, None],
+                         kf[jnp.asarray(taps)], 0)  # (q, p, C)
+        y = jnp.einsum("bqc,qpc->bpc", x.reshape(B, N, C).astype(self.dtype),
+                       band)
+        return y.reshape(B, H, W, C) + bias.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """conv3x3 -> GroupNorm -> (scale,shift) -> SiLU (unet_model.py:49-65)."""
 
@@ -146,13 +201,20 @@ class ConvNeXtBlock(nn.Module):
     norm: bool = True
     dtype: jnp.dtype = jnp.float32
     fused_norms: bool = False
+    # Run the depthwise 7x7 as a per-channel HWxHW matmul on the MXU for
+    # small grids (identical math + param tree; see DepthwiseConvMXU).
+    mxu_depthwise: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb=None):
-        h = nn.Conv(
-            self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-            dtype=self.dtype, name="ds_conv",
-        )(x)
+        if self.mxu_depthwise:
+            h = DepthwiseConvMXU(self.dim, 7, dtype=self.dtype,
+                                 name="ds_conv")(x)
+        else:
+            h = nn.Conv(
+                self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                dtype=self.dtype, name="ds_conv",
+            )(x)
         if time_emb is not None:
             emb = nn.Dense(self.dim, dtype=self.dtype, name="time_proj")(
                 nn.gelu(time_emb)
@@ -185,8 +247,10 @@ class Attention(nn.Module):
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        # Channel-contiguous split == reshape(B,N,3,h,d) + index on axis 2,
+        # but avoids the interleaved-transpose copy XLA emits for the latter.
+        q, k, v = [part.reshape(B, H * W, self.heads, self.dim_head)
+                   for part in jnp.split(qkv, 3, axis=-1)]  # (B, N, h, d)
         q = q * (self.dim_head**-0.5)
         sim = jnp.einsum("bihd,bjhd->bhij", q, k)
         sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
@@ -210,8 +274,10 @@ class LinearAttention(nn.Module):
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+        # Channel-contiguous split (see Attention) - identical values,
+        # layout-friendlier than reshape(B,N,3,h,d) + index.
+        q, k, v = [part.reshape(B, H * W, self.heads, self.dim_head)
+                   for part in jnp.split(qkv, 3, axis=-1)]  # (B, N, h, d)
         q = nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)  # over d
         k = nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)  # over n
         q = q * (self.dim_head**-0.5)

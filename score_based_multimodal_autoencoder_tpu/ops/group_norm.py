@@ -47,32 +47,49 @@ def _act(name, x):
 
 
 def _gn_act_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, groups, eps, act):
-    """One grid step normalizes a (Bt, H, W, C) batch TILE: per-sample
-    per-group statistics via 2-D/3-D reductions only (per-channel sums ->
-    per-group sums), then normalize + affine + activation in one pass."""
+    """One grid step normalizes a (Bt, H, W, C) batch TILE.
+
+    Layout-friendly by construction: the tile stays 4-D (no lane-dim
+    reshapes, which Mosaic rejects or lowers to relayouts); statistics are
+    plain axis reductions. For groups > 1 the per-channel sums (Bt, C) are
+    mapped to per-group sums by a one-hot channel->group matmul (and back
+    with its transpose) - the tiny matmul rides the MXU for free."""
     Bt, H, W, C = x_ref.shape
     cg = C // groups
-    x = x_ref[...].astype(jnp.float32).reshape(Bt, H * W, C)
-    # Per-sample per-channel sums -> per-sample per-group stats.
-    sum_c = jnp.sum(x, axis=1)  # (Bt, C)
-    sumsq_c = jnp.sum(x * x, axis=1)
+    xf = x_ref[...].astype(jnp.float32)  # (Bt, H, W, C)
+    sum_c = jnp.sum(xf, axis=(1, 2))  # (Bt, C)
+    sumsq_c = jnp.sum(xf * xf, axis=(1, 2))
     n = H * W * cg
-    g_sum = sum_c.reshape(Bt, groups, cg).sum(axis=2)  # (Bt, G)
-    g_sumsq = sumsq_c.reshape(Bt, groups, cg).sum(axis=2)
-    mean_g = g_sum / n
-    var_g = g_sumsq / n - mean_g * mean_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.repeat(mean_g, cg, axis=1).reshape(Bt, 1, C)
-    rstd_c = jnp.repeat(rstd_g, cg, axis=1).reshape(Bt, 1, C)
-    y = (x - mean_c) * rstd_c
-    y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+    if groups == 1:
+        mean = jnp.sum(sum_c, axis=1, keepdims=True) / n  # (Bt, 1)
+        var = jnp.sum(sumsq_c, axis=1, keepdims=True) / n - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        mean_c = mean[:, None, None, :]  # (Bt, 1, 1, 1)
+        rstd_c = rstd[:, None, None, :]
+    else:
+        # One-hot (C, G) grouping matrix: M[c, g] = 1 iff c // cg == g.
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0) // cg
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+        M = (row_g == col_g).astype(jnp.float32)
+        mean_g = (sum_c @ M) / n  # (Bt, G)
+        var_g = (sumsq_c @ M) / n - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = (mean_g @ M.T)[:, None, None, :]  # (Bt, 1, 1, C)
+        rstd_c = (rstd_g @ M.T)[:, None, None, :]
+    y = (xf - mean_c) * rstd_c
+    y = (y * gamma_ref[...].astype(jnp.float32)[None, None]
+         + beta_ref[...].astype(jnp.float32)[None, None])
     y = _act(act, y)
-    o_ref[...] = y.reshape(Bt, H, W, C).astype(o_ref.dtype)
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _batch_tile(B, H, W, C, itemsize, budget_bytes=2 << 20):
-    """Largest divisor of B whose (Bt, H, W, C) slab fits the VMEM budget
-    (~2 MB leaves room for double buffering in ~16 MB VMEM)."""
+def _batch_tile(B, H, W, C, itemsize, budget_bytes=256 << 10):
+    """Largest divisor of B whose (Bt, H, W, C) slab fits the VMEM budget.
+
+    Small (~256 KB) input tiles are deliberate: the kernel materializes
+    ~4x the tile in f32 intermediates on the Mosaic stack (16 MB scoped
+    limit), and many small grid steps pipeline the HBM reads/writes far
+    better than a few big serial ones."""
     per_sample = H * W * C * itemsize
     cap = max(1, budget_bytes // max(1, per_sample))
     bt = 1

@@ -90,9 +90,11 @@ class ScoreConfig:
     batch_size: int = 256
     epochs: int = 3000
     # TPU tuning knobs (not in the reference): MXU-aligned stem width
-    # (None = reference's dim//3*2) and the fused Pallas GroupNorm path.
+    # (None = reference's dim//3*2), the fused Pallas GroupNorm path, and
+    # depthwise-7x7-as-MXU-matmul (identical math, nn/blocks.py).
     init_dim: Optional[int] = None
     fused_norms: bool = False
+    mxu_depthwise: bool = False
 
     @classmethod
     def polymnist(cls, **kw):
@@ -108,11 +110,12 @@ class ScoreConfig:
         """PolyMNIST flagship tuned for TPU: same topology as ``polymnist``
         but the stem width is raised from the reference's dim//3*2 = 85 to
         128 (the MXU lane count - 85 channels pad to 128 lanes anyway, so
-        the extra width is free) and every GroupNorm runs through the fused
-        Pallas kernel."""
+        the extra width is free) and the depthwise 7x7 convs - the hottest
+        op family in the sampled HLO profile - run as per-channel HWxHW
+        matmuls on the MXU (identical math)."""
         defaults = dict(preset="polymnist", dim=128, channels=10,
                         dim_mults=(1, 2, 2, 2), latent_hw=8, sample_n=100,
-                        init_dim=128, fused_norms=True)
+                        init_dim=128, mxu_depthwise=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -127,10 +130,11 @@ class ScoreConfig:
 
     @classmethod
     def celebhq_tpu(cls, **kw):
-        """CelebA flagship tuned for TPU (stem 170 -> 256, fused norms)."""
+        """CelebA flagship tuned for TPU (stem 170 -> 256, MXU depthwise
+        on the <=8x8 levels)."""
         defaults = dict(preset="celebhq", dim=256, channels=3,
                         dim_mults=(1, 2, 2, 2, 2), latent_hw=16,
-                        sample_n=1000, init_dim=256, fused_norms=True)
+                        sample_n=1000, init_dim=256, mxu_depthwise=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -143,6 +147,7 @@ class ScoreConfig:
                           dim_mults=tuple(self.dim_mults),
                           init_dim=self.init_dim,
                           fused_norms=self.fused_norms,
+                          mxu_depthwise=self.mxu_depthwise,
                           dtype=dtype or jnp.float32)
 
     def build_sde(self, sample: bool = False):

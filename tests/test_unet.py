@@ -105,3 +105,54 @@ def test_fused_norms_parity():
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=1e-2)
+
+
+def test_mxu_depthwise_equivalence():
+    """DepthwiseConvMXU must reproduce nn.Conv(feature_group_count=C)
+    exactly (same params, same math - only the schedule changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flax import linen
+
+    from score_based_multimodal_autoencoder_tpu.nn.blocks import (
+        DepthwiseConvMXU,
+    )
+
+    C = 12
+    x = jax.random.normal(jax.random.key(0), (3, 8, 8, C))
+    ref = linen.Conv(C, (7, 7), padding=3, feature_group_count=C)
+    rv = ref.init(jax.random.key(1), x)
+    mxu = DepthwiseConvMXU(C, 7)
+    out_ref = ref.apply(rv, x)
+    out_mxu = mxu.apply(rv, x)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_mxu),
+                               rtol=1e-5, atol=1e-5)
+    # fallback path (grid larger than max_positions) also matches
+    x2 = jax.random.normal(jax.random.key(2), (2, 16, 16, C))
+    rv2 = ref.init(jax.random.key(3), x2)
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(rv2, x2)),
+        np.asarray(DepthwiseConvMXU(C, 7, max_positions=64).apply(rv2, x2)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_latent_unet_mxu_depthwise_param_compat():
+    """mxu_depthwise=True loads/produces the same param tree and closely
+    matching outputs as the reference path."""
+    import jax
+    import jax.numpy as jnp
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    t = jnp.full((2,), 0.5)
+    a = LatentUNet(dim=16, channels=3, dim_mults=(1, 2))
+    b = LatentUNet(dim=16, channels=3, dim_mults=(1, 2), mxu_depthwise=True)
+    va = a.init(jax.random.key(1), x, t)
+    sa = jax.tree_util.tree_structure(va)
+    sb = jax.tree_util.tree_structure(b.init(jax.random.key(1), x, t))
+    assert sa == sb
+    np.testing.assert_allclose(np.asarray(a.apply(va, x, t)),
+                               np.asarray(b.apply(va, x, t)),
+                               rtol=1e-4, atol=1e-4)
