@@ -3,10 +3,13 @@
 Replacement for /root/reference/fid_upd10.py's entry: conditional,
 unconditional, and incremental protocols over a trained two-stage model,
 with device-resident FID (optionally the ported Inception weights).
+``--baseline`` evaluates multimodal-VAE baselines through the SAME
+protocols side by side (fid_upd10.py:375-463 loads them together;
+poly_calc_perf_an.py evaluates one at a time).
 
     python -m score_based_multimodal_autoencoder_tpu.cli.evaluate \
         --vae-ckpt ./checkpoints/vae_fleet --score-ckpt ./checkpoints/score \
-        --predicted 9 --synthetic
+        --predicted 9 --synthetic --baseline mopoe=./checkpoints/mopoe
 """
 
 import argparse
@@ -39,6 +42,15 @@ def main():
     p.add_argument("--cl-s", default="1.0",
                    help="comma list of guidance scales to sweep, e.g. "
                         "'0,1,10,100' (train_poly_unet_cont.py:736-747)")
+    p.add_argument("--baseline", action="append", default=[],
+                   metavar="MIXTYPE=CKPT",
+                   help="repeatable: {mopoe|mmvae|mvae|mvt|mmplus}=CKPT_DIR "
+                        "- evaluate baselines through the same protocols")
+    p.add_argument("--latent-dim-w", type=int, default=32)
+    p.add_argument("--latent-dim-z", type=int, default=32)
+    p.add_argument("--tpu-preset", action="store_true",
+                   help="checkpoint was trained with ScoreConfig.*_tpu "
+                        "(128-stem + MXU depthwise)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -74,7 +86,9 @@ def main():
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")
 
-    score_cfg = ScoreConfig.polymnist(channels=args.n_mod, dim=args.dim)
+    cfg_fn = (ScoreConfig.polymnist_tpu if args.tpu_preset
+              else ScoreConfig.polymnist)
+    score_cfg = cfg_fn(channels=args.n_mod, dim=args.dim)
     model = score_cfg.build_model()
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
@@ -84,6 +98,37 @@ def main():
         score_params=score["params"], sde=score_cfg.build_sde(sample=True),
         latent_hw=score_cfg.latent_hw,
         sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+
+    samplers = {"score": pipeline}
+    for spec in args.baseline:
+        mix_type, _, ckpt = spec.partition("=")
+        if mix_type not in ("mopoe", "mmvae", "mvae", "mvt", "mmplus") \
+                or not ckpt:
+            raise SystemExit(f"--baseline {spec}: expected "
+                             "{mopoe|mmvae|mvae|mvt|mmplus}=CKPT_DIR")
+        from ..eval.baseline_adapter import BaselineSampler
+        from ..models.vae import (
+            POLYMNIST_DEC_CHANNELS,
+            POLYMNIST_ENC_CHANNELS,
+        )
+
+        variables = CheckpointManager(ckpt).restore_raw("last")
+        if mix_type == "mmplus":
+            from ..models.baselines.mmplus import MMVAEPlus
+
+            bmodel = MMVAEPlus(n_mod=args.n_mod,
+                               latent_dim_w=args.latent_dim_w,
+                               latent_dim_z=args.latent_dim_z, size_in=32)
+        else:
+            from ..models.baselines import MixtureMultimodalVAE
+
+            bmodel = MixtureMultimodalVAE(
+                n_mod=args.n_mod, enc_channel_list=POLYMNIST_ENC_CHANNELS,
+                dec_channel_list=POLYMNIST_DEC_CHANNELS, size_in=32,
+                size_z=args.size_z, img_ch=3)
+        samplers[mix_type] = BaselineSampler(
+            model=bmodel, variables=variables, mix_type=mix_type,
+            n_mod=args.n_mod)
 
     feature_fn = make_inception_feature_fn(args.inception_weights)
 
@@ -124,21 +169,27 @@ def main():
         print(json.dumps(sweep, indent=2, default=str))
         return
 
-    if args.incremental:
-        res = incremental_protocol(
-            pipeline, key, pixels, labels, args.target_mod,
-            clf_apply=clf_apply, feature_fn=feature_fn,
-            n_repeats=args.fid_n_times)
-    elif args.predicted:
-        predicted = [int(c) for c in args.predicted]
-        res = conditional_protocol(
-            pipeline, key, pixels, labels, predicted, clf_apply=clf_apply,
-            feature_fn=feature_fn, n_repeats=args.fid_n_times)
-    else:
-        res = unconditional_protocol(
-            pipeline, key, pixels, clf_apply=clf_apply, feature_fn=feature_fn,
-            n_repeats=args.fid_n_times)
-    print(json.dumps(res, indent=2, default=str))
+    results = {}
+    for name, sampler in samplers.items():
+        key, sub = jax.random.split(key)
+        if args.incremental:
+            res = incremental_protocol(
+                sampler, sub, pixels, labels, args.target_mod,
+                clf_apply=clf_apply, feature_fn=feature_fn,
+                n_repeats=args.fid_n_times)
+        elif args.predicted:
+            predicted = [int(c) for c in args.predicted]
+            res = conditional_protocol(
+                sampler, sub, pixels, labels, predicted, clf_apply=clf_apply,
+                feature_fn=feature_fn, n_repeats=args.fid_n_times)
+        else:
+            res = unconditional_protocol(
+                sampler, sub, pixels, clf_apply=clf_apply,
+                feature_fn=feature_fn, n_repeats=args.fid_n_times)
+        results[name] = res
+    # Single-model output keeps the old shape (no wrapper dict).
+    print(json.dumps(results["score"] if len(results) == 1 else results,
+                     indent=2, default=str))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,9 @@ def main():
     p.add_argument("--fgsm-eps", type=float, default=0.02)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--data-root", default=None)
+    p.add_argument("--tpu-preset", action="store_true",
+                   help="checkpoint was trained with ScoreConfig.*_tpu "
+                        "(128-stem + MXU depthwise)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="JSONL output path")
     args = p.parse_args()
@@ -98,7 +101,9 @@ def main():
         hw = int(round(args.size_z ** 0.5))
         extra = ({"dim_mults": tuple(int(v) for v in args.dim_mults.split(","))}
                  if args.dim_mults else {})
-        score_cfg = ScoreConfig.celebhq(sample_n=args.sample_n, dim=args.dim,
+        cfg_fn = (ScoreConfig.celebhq_tpu if args.tpu_preset
+                  else ScoreConfig.celebhq)
+        score_cfg = cfg_fn(sample_n=args.sample_n, dim=args.dim,
                                         latent_hw=hw, **extra)
         score = CheckpointManager(args.score_ckpt).restore_raw("last")
         models["score"] = HeterogeneousPipeline(

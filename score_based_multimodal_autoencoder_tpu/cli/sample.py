@@ -28,6 +28,9 @@ def main():
     p.add_argument("--synthetic", action="store_true",
                    help="take observed pixels from the synthetic fixture")
     p.add_argument("--data-root", default=None)
+    p.add_argument("--tpu-preset", action="store_true",
+                   help="checkpoint was trained with ScoreConfig.*_tpu "
+                        "(128-stem + MXU depthwise)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     args = p.parse_args()
@@ -44,7 +47,9 @@ def main():
 
     from ..train.lr import adam_with_mutable_lr
 
-    score_cfg = ScoreConfig.polymnist(channels=args.n_mod, dim=args.dim)
+    cfg_fn = (ScoreConfig.polymnist_tpu if args.tpu_preset
+              else ScoreConfig.polymnist)
+    score_cfg = cfg_fn(channels=args.n_mod, dim=args.dim)
     vae = VAEConfig.polymnist(size_z=args.size_z).build_model()
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")

@@ -34,6 +34,9 @@ def main():
                    help="reverse-SDE steps (reference CelebA default 1000)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--data-root", default=None)
+    p.add_argument("--tpu-preset", action="store_true",
+                   help="checkpoint was trained with ScoreConfig.*_tpu "
+                        "(128-stem + MXU depthwise)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="./grids")
     args = p.parse_args()
@@ -70,7 +73,9 @@ def main():
         mods.append(Modality(name, cfg.build_model(),
                              CheckpointManager(ckpt).restore_raw("last")))
 
-    score_cfg = ScoreConfig.celebhq(sample_n=args.sample_n)
+    cfg_fn = (ScoreConfig.celebhq_tpu if args.tpu_preset
+              else ScoreConfig.celebhq)
+    score_cfg = cfg_fn(sample_n=args.sample_n)
     score_model = score_cfg.build_model()
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
     pipe = HeterogeneousPipeline(

@@ -133,8 +133,10 @@ class ADMAttentionBlock(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(
             h.reshape(B, H * W, C))
         d = C // self.num_heads
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # Channel-contiguous split == reshape(B,N,3,h,d) + index on axis 2,
+        # but avoids the interleaved-transpose copy XLA emits for the latter.
+        q, k, v = [part.reshape(B, H * W, self.num_heads, d)
+                   for part in jnp.split(qkv, 3, axis=-1)]
         scale = 1.0 / math.sqrt(math.sqrt(d))  # ADM's sqrt-sqrt scaling
         logits = jnp.einsum("bihd,bjhd->bhij", q * scale, k * scale)
         attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)

@@ -55,3 +55,31 @@ def test_cli_chain(ckpt_root, capsys):
     res = json.loads(out[start:])
     assert "1" in res["fid"] and np.isfinite(res["fid"]["1"])
     assert os.path.getsize(out_png) > 0
+
+
+def test_cli_evaluate_with_baseline(ckpt_root, capsys):
+    """--baseline runs the multimodal-VAE baselines through the SAME
+    protocols side by side (fid_upd10.py:375-463, poly_calc_perf_an.py)."""
+    from score_based_multimodal_autoencoder_tpu.cli.evaluate import (
+        main as eval_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_baseline import (
+        main as baseline_main,
+    )
+
+    assert os.path.isdir(f"{ckpt_root}/score")  # chain ran first
+    _run(baseline_main, ["--synthetic", "--synthetic-n", "64", "--n-mod",
+                         "2", "--batch-size", "32", "--epochs", "1",
+                         "--mix-type", "mopoe",
+                         "--ckpt-dir", f"{ckpt_root}/mopoe"])
+    capsys.readouterr()
+    _run(eval_main, ["--dim", "16", "--synthetic", "--n-mod", "2",
+                     "--amount", "8", "--vae-ckpt", f"{ckpt_root}/vae",
+                     "--score-ckpt", f"{ckpt_root}/score",
+                     "--baseline", f"mopoe={ckpt_root}/mopoe",
+                     "--predicted", "1"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert set(res) == {"score", "mopoe"}
+    for name in res:
+        assert "1" in res[name]["fid"] and np.isfinite(res[name]["fid"]["1"])
