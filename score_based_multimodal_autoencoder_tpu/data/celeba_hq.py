@@ -50,7 +50,7 @@ def load_celeba_hq(
     root: str, split: str = "train", size: int = 128,
     limit: Optional[int] = None,
 ) -> CelebAHQMaskData:
-    from PIL import Image
+    from ..ops.native import decode_images
 
     img_files = sorted(glob.glob(os.path.join(root, f"{split}_img", "*.jpg")))
     mask_files = sorted(glob.glob(os.path.join(root, f"{split}_mask", "*.png")))
@@ -64,19 +64,18 @@ def load_celeba_hq(
     assert len(names) == 40, "expected 40 attribute names"
 
     n = len(img_files)
-    images = np.zeros((n, size, size, 3), np.uint8)
-    masks = np.zeros((n, size, size, 1), np.uint8)
     attrs = np.zeros((n, 40), np.int8)
     for i, (imf, mkf) in enumerate(zip(img_files, mask_files)):
         stem_i = os.path.basename(imf)[:-4]
         stem_m = os.path.basename(mkf)[:-4]
         assert stem_i == stem_m, f"misaligned pair: {imf} vs {mkf}"
-        img = Image.open(imf).convert("RGB").resize((size, size), Image.BILINEAR)
-        msk = Image.open(mkf).convert("L").resize((size, size), Image.BILINEAR)
-        images[i] = np.asarray(img)
-        masks[i, ..., 0] = np.asarray(msk)
         idx = int(stem_i)
         row = attr_lines[idx + 2].strip().split(" ")
         assert idx == int(row[0][:-4]), "attribute row misaligned"
         attrs[i] = [1 if a == "1" else 0 for a in row[2:]]
+    # Threaded native decode + PIL-BILINEAR resample (image_decode.cpp);
+    # the reference's serial PIL loop (celeba_hq_mask_dataset.py:36-64) is
+    # its startup bottleneck at 30k 1024x1024 JPG/PNG pairs.
+    images = decode_images(img_files, size, size, 3)
+    masks = decode_images(mask_files, size, size, 1)
     return CelebAHQMaskData(images, masks, attrs)

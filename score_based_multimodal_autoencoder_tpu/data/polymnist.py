@@ -57,8 +57,14 @@ def load_polymnist(
     modalities: Optional[List[str]] = None,
     size: int = 32,
 ) -> PolyMNISTData:
-    """Eager-load a PolyMNIST split from the reference's PNG layout."""
-    from PIL import Image
+    """Eager-load a PolyMNIST split from the reference's PNG layout.
+
+    Decoding runs through the threaded native PNG decoder
+    (ops/native/image_decode.cpp) when available - the reference's serial
+    PIL loop over 10 x 60k files (polymnist_dataset.py:60-89) is the
+    slowest part of its startup.
+    """
+    from ..ops.native import decode_images
 
     if modalities is None:
         modalities = [f"m{i}" for i in range(10)]
@@ -75,8 +81,7 @@ def load_polymnist(
     images = np.zeros((len(modalities), n, 28, 28, 3), np.uint8)
     labels = np.zeros((n,), np.int32)
     for mi, files in enumerate(per_mod_files):
-        for i, f in enumerate(files):
-            images[mi, i] = np.asarray(Image.open(f).convert("RGB"))
+        images[mi] = decode_images(files, 28, 28, 3)
         if mi == 0:
             labels[:] = [_label_from_path(f) for f in files]
     ds = PolyMNISTData(images, labels)

@@ -1,1 +1,1 @@
-from .native import gather_normalize_u8, native_available
+from .native import decode_images, gather_normalize_u8, native_available

@@ -16,7 +16,9 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "gather_normalize.cpp")
+_SRCS = [os.path.join(_HERE, "gather_normalize.cpp"),
+         os.path.join(_HERE, "image_decode.cpp")]
+_SRC = _SRCS[0]
 _SO = os.path.join(_HERE, "libnative.so")
 
 _lib = None
@@ -33,10 +35,11 @@ def _load():
             return _lib
         try:
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_SO) < max(os.path.getmtime(s)
+                                                   for s in _SRCS)):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _SO, _SRC, "-pthread"],
+                     "-o", _SO, *_SRCS, "-pthread", "-lpng", "-ljpeg"],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
             lib.gather_normalize_u8.argtypes = [
@@ -46,6 +49,12 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ]
             lib.gather_normalize_u8.restype = None
+            lib.decode_images.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.decode_images.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _build_failed = True
@@ -76,4 +85,40 @@ def gather_normalize_u8(src: np.ndarray, idx: np.ndarray,
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         len(idx), row_elems, n_threads)
+    return out
+
+
+def decode_images(paths, height: int, width: int, channels: int = 3,
+                  n_threads: int = 0) -> np.ndarray:
+    """Threaded batch decode of PNG/JPEG files -> uint8 (N, H, W, C).
+
+    Resamples to (height, width) with PIL-BILINEAR (triangle) semantics
+    when sizes differ; ``channels=1`` converts with PIL's "L" luma formula.
+    Falls back to PIL without a native build (or raises ImportError if PIL
+    is also unavailable).
+    """
+    paths = [os.fspath(p) for p in paths]
+    lib = _load()
+    if lib is not None:
+        out = np.empty((len(paths), height, width, channels), np.uint8)
+        if n_threads <= 0:
+            n_threads = min(16, os.cpu_count() or 1)
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        rc = lib.decode_images(
+            arr, len(paths),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            height, width, channels, n_threads)
+        if rc == 0:
+            return out
+        raise IOError(f"native decode failed for {paths[rc - 1]!r}")
+    from PIL import Image
+
+    out = np.empty((len(paths), height, width, channels), np.uint8)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB" if channels == 3 else "L")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.BILINEAR)
+        a = np.asarray(img, np.uint8)
+        out[i] = a if channels == 3 else a[..., None]
     return out
