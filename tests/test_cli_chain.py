@@ -83,3 +83,28 @@ def test_cli_evaluate_with_baseline(ckpt_root, capsys):
     assert set(res) == {"score", "mopoe"}
     for name in res:
         assert "1" in res[name]["fid"] and np.isfinite(res[name]["fid"]["1"])
+
+
+def test_cli_tpu_preset_chain(ckpt_root):
+    """--tpu-preset (128-stem + MXU depthwise) trains and samples end to
+    end; its checkpoints are read back with the same flag."""
+    from score_based_multimodal_autoencoder_tpu.cli.sample import (
+        main as sample_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_score import (
+        main as score_main,
+    )
+
+    assert os.path.isdir(f"{ckpt_root}/vae")  # chain ran first
+    common = ["--synthetic", "--synthetic-n", "64", "--n-mod", "2",
+              "--batch-size", "32", "--dim", "16", "--tpu-preset"]
+    _run(score_main, common + ["--epochs", "1",
+                               "--vae-ckpt", f"{ckpt_root}/vae",
+                               "--ckpt-dir", f"{ckpt_root}/score_tpu"])
+    out_png = f"{ckpt_root}/grid_tpu.png"
+    _run(sample_main, ["--dim", "16", "--tpu-preset",
+                       "--vae-ckpt", f"{ckpt_root}/vae",
+                       "--score-ckpt", f"{ckpt_root}/score_tpu",
+                       "--n-mod", "2", "--amount", "2", "--given", "0",
+                       "--synthetic", "--out", out_png])
+    assert os.path.getsize(out_png) > 0

@@ -128,13 +128,30 @@ def test_mxu_depthwise_equivalence():
     out_mxu = mxu.apply(rv, x)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_mxu),
                                rtol=1e-5, atol=1e-5)
-    # fallback path (grid larger than max_positions) also matches
+    # 16x16 matmul path (the default cutoff covers it) AND the explicit
+    # fallback path (grid larger than max_positions) both match
     x2 = jax.random.normal(jax.random.key(2), (2, 16, 16, C))
     rv2 = ref.init(jax.random.key(3), x2)
+    ref_out = np.asarray(ref.apply(rv2, x2))
     np.testing.assert_allclose(
-        np.asarray(ref.apply(rv2, x2)),
+        ref_out, np.asarray(DepthwiseConvMXU(C, 7).apply(rv2, x2)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        ref_out,
         np.asarray(DepthwiseConvMXU(C, 7, max_positions=64).apply(rv2, x2)),
         rtol=1e-5, atol=1e-5)
+    # gradients flow through the banded-matmul path (training uses it)
+    def loss(v):
+        return jnp.sum(DepthwiseConvMXU(C, 7).apply(v, x) ** 2)
+
+    g = jax.grad(loss)(rv)
+    def loss_ref(v):
+        return jnp.sum(ref.apply(v, x) ** 2)
+
+    g_ref = jax.grad(loss_ref)(rv)
+    np.testing.assert_allclose(
+        np.asarray(g["params"]["kernel"]),
+        np.asarray(g_ref["params"]["kernel"]), rtol=1e-4, atol=1e-4)
 
 
 def test_latent_unet_mxu_depthwise_param_compat():
