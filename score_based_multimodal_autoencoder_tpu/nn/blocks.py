@@ -132,8 +132,11 @@ class DepthwiseConvMXU(nn.Module):
                 feature_group_count=C)
             return y + bias.astype(self.dtype)
         N = H * W
-        # Static (N, N) tap map: out position p reads in position q through
-        # kernel tap (qy-py+pad, qx-px+pad) when that offset is in range.
+        # Static (N*N, K*K) one-hot tap matrix: row (q*N + p) selects kernel
+        # tap (qy-py+pad, qx-px+pad) when that offset is in range. The band
+        # is then a MATMUL of the tap matrix with the flat kernel - so its
+        # VJP is another matmul (a gather-based construction would
+        # backpropagate through a TPU-hostile scatter in training).
         py, px = np.divmod(np.arange(N), W)
         # band[q, p] holds kernel[qy-py+pad, qx-px+pad]: axis 0 = input
         # position q, axis 1 = output position p.
@@ -141,9 +144,10 @@ class DepthwiseConvMXU(nn.Module):
         dx = px[:, None] - px[None, :] + pad
         valid = (0 <= dy) & (dy < K) & (0 <= dx) & (dx < K)
         taps = np.where(valid, dy * K + dx, 0)
+        onehot = np.zeros((N * N, K * K), np.float32)
+        onehot[np.arange(N * N), taps.reshape(-1)] = valid.reshape(-1)
         kf = kernel.reshape(K * K, C).astype(self.dtype)
-        band = jnp.where(jnp.asarray(valid)[:, :, None],
-                         kf[jnp.asarray(taps)], 0)  # (q, p, C)
+        band = (jnp.asarray(onehot, self.dtype) @ kf).reshape(N, N, C)
         y = jnp.einsum("bqc,qpc->bpc", x.reshape(B, N, C).astype(self.dtype),
                        band)
         return y.reshape(B, H, W, C) + bias.astype(self.dtype)
