@@ -116,8 +116,9 @@ def main():
                 key, e_key, s_key = jax.random.split(key, 3)
                 z = encode_flat(batch, e_key)
                 sm_params, sm_opt, loss = sm_step(sm_params, sm_opt, z, s_key)
-                losses.append(float(loss))
-            print(f"sm epoch {epoch}: dsm={np.mean(losses):.4f} "
+                losses.append(loss)
+            print(f"sm epoch {epoch}: "
+                  f"dsm={float(jnp.mean(jnp.stack(losses))):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
             sm_mgr.save_last({"params": sm_params})
         sm_mgr.wait()
@@ -148,14 +149,15 @@ def main():
             batch = jnp.asarray(gather_batch_01(pixels, idx))
             key, sub = jax.random.split(key)
             fleet_state, per_mod = step(fleet_state, batch, sub)
-            losses.append(float(per_mod.sum()))
-        print(f"epoch {epoch}: finetune={np.mean(losses):.4f} "
+            losses.append(per_mod.sum())
+        mean_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
+        print(f"epoch {epoch}: finetune={mean_loss:.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last(fleet_state)
-        mgr.save_best(fleet_state, float(np.mean(losses)))
-        mgr._ckpt.save(mgr._dir("resume"), {
+        mgr.save_best(fleet_state, mean_loss)
+        mgr.save_resume({
             "state": fleet_state, "epoch": epoch,
-            "key": jax.random.key_data(key)}, force=True)
+            "key": jax.random.key_data(key)})
     mgr.wait()
 
 

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="continue from the resume checkpoint in --ckpt-dir")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh)")
     p.add_argument("--ckpt-dir", default=None)
     args = p.parse_args()
 
@@ -51,9 +53,20 @@ def main():
 
     from ..data.loader import BatchIterator, to_float01
     from ..train.checkpoints import CheckpointManager
+    from ..train.trainer import _dp_shardings, _put_batch, _replicate
 
     key = jax.random.key(args.seed)
     tx = optax.adam(args.lr)
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    # PolyMNIST batches are modality-major (n_mod, B, ...); CelebA gathers
+    # return per-modality (B, ...) tuples.
+    rep, batch_sh = _dp_shardings(mesh,
+                                  modality_major=args.dataset == "polymnist")
+    batch_axis = 1 if args.dataset == "polymnist" else 0
 
     if args.dataset == "celeba":
         model, variables, batches = _build_celeba(args, key)
@@ -76,26 +89,32 @@ def main():
         key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
         print(f"resumed from epoch {start_epoch}", flush=True)
 
+    params = _replicate(params, rep)
+    stats = _replicate(stats, rep) if stats is not None else None
+    opt_state = _replicate(opt_state, rep)
+
     n = batches.n
     it = BatchIterator(np.arange(n), args.batch_size, seed=args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = batches.gather(np.asarray(idx))
+            batch = _put_batch(batches.gather(np.asarray(idx)),
+                               batch_sh, axis=batch_axis)
             key, sub = jax.random.split(key)
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   batch, sub)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: {args.mix_type}={np.mean(losses):.4f} "
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
+        print(f"epoch {epoch}: {args.mix_type}={mean_loss:.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         if mgr:
             mgr.save_last({"params": params, "batch_stats": stats})
             mgr.save_best({"params": params, "batch_stats": stats},
-                          float(np.mean(losses)))
-            mgr._ckpt.save(mgr._dir("resume"), {
+                          mean_loss)
+            mgr.save_resume({
                 "params": params, "batch_stats": stats,
                 "opt_state": opt_state, "epoch": epoch,
-                "key": jax.random.key_data(key)}, force=True)
+                "key": jax.random.key_data(key)})
     if mgr:
         mgr.wait()
 

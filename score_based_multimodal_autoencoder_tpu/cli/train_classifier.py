@@ -31,6 +31,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the resume checkpoint in --ckpt-dir")
     p.add_argument("--ckpt-dir", default="./checkpoints/pm_clf")
     args = p.parse_args()
 
@@ -90,19 +92,33 @@ def main():
                        args.batch_size, seed=args.seed)
     mgr = CheckpointManager(args.ckpt_dir)
     params = variables["params"]
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    if args.resume and mgr.exists("resume"):
+        target = {"params": params, "opt_state": opt_state, "epoch": 0,
+                  "best_metric": np.nan}
+        saved = mgr.restore(target, "resume")
+        params, opt_state = saved["params"], saved["opt_state"]
+        start_epoch = int(saved["epoch"]) + 1
+        best = float(saved["best_metric"])
+        mgr.best_metric = None if np.isnan(best) else best
+        print(f"resumed classifier from epoch {start_epoch}", flush=True)
+    for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for b in it.epoch():
             x = center_crop_28(jnp.asarray(to_float01(b["x"])))
             params, opt_state, loss = step(params, opt_state, x,
                                            jnp.asarray(b["y"]))
-            losses.append(float(loss))
+            losses.append(loss)
         vx = center_crop_28(jnp.asarray(to_float01(val.images[0, :512])))
         acc = float(accuracy(params, vx, jnp.asarray(val.labels[:512])))
-        print(f"epoch {epoch}: ce={np.mean(losses):.4f} val_acc={acc:.3f} "
-              f"({time.time()-t0:.1f}s)", flush=True)
+        print(f"epoch {epoch}: ce={float(jnp.mean(jnp.stack(losses))):.4f} "
+              f"val_acc={acc:.3f} ({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last({"params": params})
         mgr.save_best({"params": params}, 1.0 - acc)
+        mgr.save_resume({"params": params, "opt_state": opt_state,
+                         "epoch": epoch,
+                         "best_metric": (np.nan if mgr.best_metric is None
+                                         else mgr.best_metric)})
     mgr.wait()
 
 
@@ -163,10 +179,21 @@ def _train_celeba_attr_clf(args):
                                          "batch_stats": stats}, x))
 
     mgr = CheckpointManager(args.ckpt_dir)
+    start_epoch = 0
+    if args.resume and mgr.exists("resume"):
+        target = {"params": params, "batch_stats": stats,
+                  "opt_state": opt_state, "epoch": 0, "best_metric": np.nan}
+        saved = mgr.restore(target, "resume")
+        params, stats = saved["params"], saved["batch_stats"]
+        opt_state = saved["opt_state"]
+        start_epoch = int(saved["epoch"]) + 1
+        best = float(saved["best_metric"])
+        mgr.best_metric = None if np.isnan(best) else best
+        print(f"resumed classifier from epoch {start_epoch}", flush=True)
     it = BatchIterator(np.arange(len(tr)), args.batch_size, seed=args.seed)
     vx = jnp.asarray(to_float01(va.images[:256]))
     vy = jnp.asarray(va.visible_attrs()[:256])
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
             i = np.asarray(idx)
@@ -174,12 +201,16 @@ def _train_celeba_attr_clf(args):
             y = jnp.asarray(tr.visible_attrs()[i])
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   x, y)
-            losses.append(float(loss))
+            losses.append(loss)
         f1 = float(samples_f1(predict(params, stats, vx), vy, 0.5))
-        print(f"epoch {epoch}: bce={np.mean(losses):.4f} val_f1={f1:.3f} "
-              f"({time.time()-t0:.1f}s)", flush=True)
+        print(f"epoch {epoch}: bce={float(jnp.mean(jnp.stack(losses))):.4f} "
+              f"val_f1={f1:.3f} ({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last({"params": params, "batch_stats": stats})
         mgr.save_best({"params": params, "batch_stats": stats}, 1.0 - f1)
+        mgr.save_resume({"params": params, "batch_stats": stats,
+                         "opt_state": opt_state, "epoch": epoch,
+                         "best_metric": (np.nan if mgr.best_metric is None
+                                         else mgr.best_metric)})
     mgr.wait()
 
 

@@ -51,6 +51,8 @@ def main():
                    help="reverse-SDE steps for the in-training eval sampler")
     p.add_argument("--metrics", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/cond_score")
     args = p.parse_args()
@@ -150,6 +152,12 @@ def main():
                 pipeline, key, *[np.asarray(x) for x in ev],
                 batch_size=min(64, args.eval_amount))}
 
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    else:
+        mesh = None
     train_cond_score_model(
         score_model, sde_cfg.build_sde(), mods, rep_models, rep_variables,
         make_gather(tr), len(tr), hw,
@@ -158,7 +166,7 @@ def main():
         likelihood_weighting=not args.no_likelihood_weighting,
         ema_decay=args.ema, seed=args.seed, ckpt_dir=args.ckpt_dir,
         eval_every=args.eval_every, eval_fn=eval_fn,
-        metrics_path=args.metrics, resume=args.resume)
+        metrics_path=args.metrics, resume=args.resume, mesh=mesh)
 
 
 if __name__ == "__main__":

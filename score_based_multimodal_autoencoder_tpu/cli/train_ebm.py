@@ -110,14 +110,15 @@ def main():
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, z1, z2,
                                            int(m1), int(m2), sub)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: nce={np.mean(losses):.4f} "
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
+        print(f"epoch {epoch}: nce={mean_loss:.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         mgr.save_last({"params": params})
-        mgr.save_best({"params": params}, float(np.mean(losses)))
-        mgr._ckpt.save(mgr._dir("resume"), {
+        mgr.save_best({"params": params}, mean_loss)
+        mgr.save_resume({
             "params": params, "opt_state": opt_state, "epoch": epoch,
-            "key": jax.random.key_data(key)}, force=True)
+            "key": jax.random.key_data(key)})
     mgr.wait()
 
 

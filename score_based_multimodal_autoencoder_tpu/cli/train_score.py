@@ -56,6 +56,9 @@ def main():
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--resume", action="store_true",
                    help="continue from the last checkpoint in --ckpt-dir")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh over ICI; "
+                        "params replicated, gradient all-reduce by XLA)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/score")
     args = p.parse_args()
@@ -70,6 +73,12 @@ def main():
     from ..train.configs import ScoreConfig, VAEConfig
     from ..train.lr import adam_with_mutable_lr
     from ..train.trainer import train_het_score_model, train_score_model
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     if args.preset == "celebhq":
         # Three heterogeneous frozen VAEs -> (B, hw, hw, 3) latent grid ->
@@ -141,7 +150,7 @@ def main():
             importance_sampling=args.im_sample, seed=args.seed,
             ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
             eval_every=args.eval_every, eval_fn=eval_fn,
-            metrics_path=args.metrics, resume=args.resume)
+            metrics_path=args.metrics, resume=args.resume, mesh=mesh)
         return
 
     if args.synthetic:
@@ -210,7 +219,7 @@ def main():
         importance_sampling=args.im_sample, seed=args.seed,
         ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
         eval_every=args.eval_every, eval_fn=eval_fn,
-        metrics_path=args.metrics, resume=args.resume)
+        metrics_path=args.metrics, resume=args.resume, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -34,12 +34,21 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--resume", action="store_true",
                    help="continue from the resume checkpoint in --ckpt-dir")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh over ICI; "
+                        "params replicated, gradient all-reduce by XLA)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet")
     args = p.parse_args()
 
     from ..train.configs import VAEConfig
     from ..train.trainer import train_single_vae, train_vae_fleet
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     if args.dataset == "polymnist":
         cfg = VAEConfig.polymnist(size_z=args.size_z, beta=args.beta)
@@ -74,7 +83,7 @@ def main():
         train_single_vae(
             model, train_arr, val_arr, beta=args.beta, lr=args.lr,
             batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-            ckpt_dir=args.ckpt_dir, resume=args.resume)
+            ckpt_dir=args.ckpt_dir, resume=args.resume, mesh=mesh)
         return
 
     if args.synthetic:
@@ -93,7 +102,8 @@ def main():
     train_vae_fleet(
         model, px_train, px_val, beta=args.beta, lr=args.lr,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-        ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume)
+        ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume,
+        mesh=mesh)
 
 
 if __name__ == "__main__":

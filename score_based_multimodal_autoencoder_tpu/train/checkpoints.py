@@ -40,6 +40,31 @@ class CheckpointManager:
             return True
         return False
 
+    def save_resume(self, payload: Any, opt_state: Any = None):
+        """Every-epoch preemption-safe resume state.
+
+        ``payload`` (params/epoch/PRNG key/watermarks) goes to ``resume``;
+        the optimizer state, when given, goes to a separate ``resume_opt``
+        tree because its typed pytree (optax namedtuples) must be restored
+        into a freshly-initialized target while the payload restores raw.
+        """
+        self._ckpt.save(self._dir("resume"), payload, force=True)
+        if opt_state is not None:
+            self.save_opt(opt_state)
+
+    def save_opt(self, opt_state: Any):
+        """Optimizer-state companion to ``save_last``/``save_resume`` (the
+        reference never persists optimizer moments - train_polyupd.py:229
+        comments the save out; here Adam state survives preemption)."""
+        self._ckpt.save(self._dir("resume_opt"), opt_state, force=True)
+
+    def restore_opt(self, target: Any) -> Any:
+        """Typed restore of the optimizer state saved by ``save_opt``;
+        returns ``target`` unchanged when no opt checkpoint exists."""
+        if not self.exists("resume_opt"):
+            return target
+        return self._ckpt.restore(self._dir("resume_opt"), target=target)
+
     def restore(self, target: Any, which: str = "last") -> Any:
         """Restore into the structure of ``target`` (an abstract state)."""
         return self._ckpt.restore(self._dir(which), target=target)

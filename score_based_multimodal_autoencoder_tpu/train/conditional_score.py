@@ -186,18 +186,19 @@ def train_contrastive_encoders(
         for idx in it.epoch():
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   gather(np.asarray(idx)))
-            losses.append(float(loss))
-        print(f"epoch {epoch}: info_nce={np.mean(losses):.4f} "
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
+        print(f"epoch {epoch}: info_nce={mean_loss:.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         if mgr:
             ckpt = {"params": list(params), "batch_stats": list(stats)}
             mgr.save_last(ckpt)
-            mgr.save_best(ckpt, float(np.mean(losses)))
+            mgr.save_best(ckpt, mean_loss)
             key, _ = jax.random.split(key)
-            mgr._ckpt.save(mgr._dir("resume"), {
+            mgr.save_resume({
                 "params": params, "batch_stats": stats,
                 "opt_state": opt_state, "epoch": epoch,
-                "key": jax.random.key_data(key)}, force=True)
+                "key": jax.random.key_data(key)})
     if mgr:
         mgr.wait()
     return {"params": params, "batch_stats": stats}
@@ -228,12 +229,14 @@ def train_cond_score_model(
     eval_fn=None,
     metrics_path=None,
     resume: bool = False,
+    mesh=None,
 ):
     """Epoch loop for the z-conditioned score model (the _cond entry point,
     /root/reference/train_lat_celebhq_unet_cont2_cond.py:452-460, 651-674):
     random given-subset conditioning per step, EMA copy maintained and
     checkpointed (the reference's _EMA files, :772-785), full-val DSM keyed
-    best checkpoint, preemption-safe resume."""
+    best checkpoint, preemption-safe resume. ``mesh``: optional DP mesh -
+    params/EMA replicated, per-modality input batches sharded on axis 0."""
     import time
 
     import numpy as np
@@ -242,7 +245,10 @@ def train_cond_score_model(
     from ..utils.logging import MetricsLogger
     from .checkpoints import CheckpointManager
     from .lr import adam_with_mutable_lr
+    from .trainer import _dp_shardings, _mean_of, _put_batch, _replicate, \
+        _weighted_mean
 
+    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
     key = jax.random.key(seed + 700)
     val_key = jax.random.key(seed + 7919)
     logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
@@ -284,9 +290,12 @@ def train_cond_score_model(
 
             best = float(ckpt["best_metric"])
             mgr.best_metric = None if _np.isnan(best) else best
-        if mgr.exists("resume_opt"):
-            opt_state = mgr.restore(opt_state, "resume_opt")
+        opt_state = mgr.restore_opt(opt_state)
         print(f"resumed cond score from epoch {start_epoch}", flush=True)
+
+    params = _replicate(params, rep)
+    opt_state = _replicate(opt_state, rep)
+    ema = _replicate(ema, rep)
 
     step = jax.jit(make_cond_score_train_step(
         score_model, sde, encoder, rep_encoder, tx, n_mod=n_mod,
@@ -317,9 +326,10 @@ def train_cond_score_model(
         for i in range(0, n_val, batch_size):
             idx = np.arange(i, min(i + batch_size, n_val))
             vkey, sub = jax.random.split(vkey)
-            vals.append(float(val_step(params, gather_val(idx), sub)))
+            vb = _put_batch(gather_val(idx), batch_sh, axis=0)
+            vals.append(val_step(params, vb, sub))
             weights.append(len(idx))
-        return float(np.average(vals, weights=weights))
+        return _weighted_mean(vals, weights)
 
     pipeline = None
     if eval_every and eval_fn:
@@ -335,10 +345,11 @@ def train_cond_score_model(
         t0, losses = time.time(), []
         for idx in it.epoch():
             key, sub = jax.random.split(key)
+            batch = _put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
             params, opt_state, ema, loss = step(
-                params, opt_state, ema, gather(np.asarray(idx)), sub)
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses))
+                params, opt_state, ema, batch, sub)
+            losses.append(loss)
+        train_loss = _mean_of(losses)
         print(f"epoch {epoch}: cond_dsm={train_loss:.5f} "
               f"({time.time()-t0:.1f}s)", flush=True)
         val_loss = full_val_loss(params)
@@ -364,7 +375,7 @@ def train_cond_score_model(
                     "best_metric": (_np.nan if mgr.best_metric is None
                                     else mgr.best_metric)}
             mgr.save_last(ckpt)
-            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_opt(opt_state)
             mgr.save_best(ckpt, val_loss if val_loss is not None
                           else train_loss)
     if mgr:

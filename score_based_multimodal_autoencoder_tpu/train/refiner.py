@@ -73,8 +73,7 @@ def train_refiner(
         if ckpt.get("best_metric") is not None:
             best = float(ckpt["best_metric"])
             mgr.best_metric = None if np.isnan(best) else best
-        if mgr.exists("resume_opt"):
-            opt_state = mgr.restore(opt_state, "resume_opt")
+        opt_state = mgr.restore_opt(opt_state)
         _log(f"resumed refiner from epoch {start_epoch}")
 
     def denoise_fn_of(params):
@@ -113,9 +112,10 @@ def train_refiner(
         for i in range(0, images_val.shape[0], batch_size):
             vb = jnp.asarray(to_float01(images_val[i:i + batch_size]))
             vkey, sub = jax.random.split(vkey)
-            vals.append(float(val_step(params, vb, sub)))
+            vals.append(val_step(params, vb, sub))
             weights.append(vb.shape[0])
-        return float(np.average(vals, weights=weights))
+        return float(np.average(np.asarray(jnp.stack(vals)),
+                                weights=weights))
 
     it = BatchIterator(np.arange(images_train.shape[0]), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
@@ -124,8 +124,8 @@ def train_refiner(
             batch = jnp.asarray(to_float01(images_train[np.asarray(idx)]))
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, batch, sub)
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses))
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
         _log(f"epoch {epoch}: refiner={train_loss:.5f} "
              f"({time.time()-t0:.1f}s)")
         val_loss = full_val_loss(params)
@@ -164,7 +164,7 @@ def train_refiner(
                     "best_metric": (np.nan if mgr.best_metric is None
                                     else mgr.best_metric)}
             mgr.save_last(ckpt)
-            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_opt(opt_state)
             mgr.save_best(ckpt, val_loss if val_loss is not None
                           else train_loss)
     if mgr:

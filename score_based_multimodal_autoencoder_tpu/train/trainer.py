@@ -36,10 +36,6 @@ def _log(msg):
     print(msg, flush=True)
 
 
-def _save_resume(mgr: CheckpointManager, payload: Dict[str, Any]):
-    mgr._ckpt.save(mgr._dir("resume"), payload, force=True)
-
-
 def _load_resume(mgr: CheckpointManager) -> Optional[Dict[str, Any]]:
     if not mgr.exists("resume"):
         return None
@@ -49,6 +45,51 @@ def _load_resume(mgr: CheckpointManager) -> Optional[Dict[str, Any]]:
 
 def _restore_key(raw_key):
     return jax.random.wrap_key_data(jnp.asarray(raw_key))
+
+
+def _dp_shardings(mesh, modality_major: bool):
+    """(replicated, batch) shardings for data-parallel training.
+
+    ``mesh`` None = single-device path (both None). Batch axis is sharded
+    over the mesh's 'data' axis: axis 1 for modality-major (n_mod, B, ...)
+    stacks, axis 0 otherwise. Params/opt state stay replicated (SURVEY.md
+    §2.8: models are <100M params, TP/PP deliberately out of scope).
+    """
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(None, "data") if modality_major else P("data")
+    return NamedSharding(mesh, P()), NamedSharding(mesh, spec)
+
+
+def _replicate(tree, rep):
+    if rep is None:
+        return tree
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def _put_batch(tree, sharding, axis: int):
+    """Device-put a batch pytree sharded on ``axis`` when the DP mesh
+    divides it (remainder val batches fall back to replicated placement)."""
+    if sharding is not None:
+        n = sharding.mesh.shape["data"]
+        leaves = jax.tree_util.tree_leaves(tree)
+        if all(leaf.shape[axis] % n == 0 for leaf in leaves):
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def _mean_of(device_scalars) -> float:
+    """ONE host sync for a whole epoch of per-step losses (the reference -
+    and round-2 this repo - blocked on every step's loss; VERDICT r2 §weak 3)."""
+    return float(jnp.mean(jnp.stack(device_scalars)))
+
+
+def _weighted_mean(device_scalars, weights) -> float:
+    vals = np.asarray(jnp.stack(device_scalars))
+    return float(np.average(vals, weights=weights))
 
 
 def train_vae_fleet(
@@ -64,10 +105,15 @@ def train_vae_fleet(
     ckpt_dir: Optional[str] = None,
     loss_type: str = "vae",
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
+    """``mesh``: optional DP mesh (parallel.mesh.make_mesh) - fleet state
+    replicated, batches sharded (n_mod, B->data, ...); XLA inserts the
+    gradient all-reduce over ICI (SURVEY.md §2.8)."""
     n_mod = pixels_train.shape[0]
     tx = adam_with_mutable_lr(lr)
     fleet = VAEFleet(vae_model, n_mod, tx, beta=beta, loss_type=loss_type)
+    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
     key = jax.random.key(seed)
     key, init_key = jax.random.split(key)
     state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
@@ -90,7 +136,9 @@ def train_vae_fleet(
         mgr.best_metric = None if np.isnan(best) else best
         _log(f"resumed fleet from epoch {start_epoch}")
 
+    state = _replicate(state, rep)
     n = pixels_train.shape[1]
+    history = []
     train_iter = BatchIterator(
         np.arange(n), batch_size, seed=seed,
         transform=None,
@@ -99,11 +147,13 @@ def train_vae_fleet(
         t0 = time.time()
         totals = []
         for idx in train_iter.epoch():
-            batch = jnp.asarray(gather_batch_01(pixels_train, idx))
+            batch = _put_batch(gather_batch_01(pixels_train, idx),
+                               batch_sh, axis=1)
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             totals.append(metrics["total"])
         train_loss = float(jnp.stack(totals).mean())
+        history.append(train_loss)
         _log(f"epoch {epoch}: train={train_loss:.4f} "
              f"({time.time() - t0:.1f}s)")
 
@@ -112,33 +162,35 @@ def train_vae_fleet(
             # the entire val loader, not one batch).
             key, sub = jax.random.split(key)
             val_loss = _fleet_val_loss(eval_step, state, pixels_val,
-                                       batch_size, sub)
+                                       batch_size, sub, batch_sh)
             _log(f"epoch {epoch}: val={val_loss:.4f}")
             if mgr:
                 mgr.save_best(state, val_loss)
         if mgr:
             mgr.save_last(state)
-            _save_resume(mgr, {
+            mgr.save_resume({
                 "state": state, "epoch": epoch,
                 "key": jax.random.key_data(key),
                 "best_metric": (np.nan if mgr.best_metric is None
                                 else mgr.best_metric)})
     if mgr:
         mgr.wait()
-    return {"fleet": fleet, "state": state}
+    return {"fleet": fleet, "state": state, "history": history}
 
 
-def _fleet_val_loss(eval_step, state, pixels_val, batch_size, key) -> float:
+def _fleet_val_loss(eval_step, state, pixels_val, batch_size, key,
+                    batch_sh=None) -> float:
     """Mean fleet loss over the ENTIRE val split (all modalities)."""
     n = pixels_val.shape[1]
     totals, weights = [], []
     for i in range(0, n, batch_size):
-        vb = jnp.asarray(to_float01(pixels_val[:, i:i + batch_size]))
+        vb = _put_batch(to_float01(pixels_val[:, i:i + batch_size]),
+                        batch_sh, axis=1)
         key, sub = jax.random.split(key)
         m = eval_step(state, vb, sub)
-        totals.append(float(m["total"].mean()))
+        totals.append(m["total"].mean())
         weights.append(vb.shape[1])
-    return float(np.average(totals, weights=weights))
+    return _weighted_mean(totals, weights)
 
 
 def train_single_vae(
@@ -153,13 +205,18 @@ def train_single_vae(
     seed: int = 0,
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
     """One heterogeneous-modality VAE (the CelebA image/mask/attr trainers,
     /root/reference/train_celeba_res_hq.py, train_celeba_mask_hq.py,
-    train_celeba_attr_hq.py): best-on-val + last checkpoints, plateau LR."""
+    train_celeba_attr_hq.py): best-on-val + last checkpoints, plateau LR.
+    ``mesh``: optional DP mesh - state replicated, batch axis sharded
+    (BatchNorm statistics stay GLOBAL: under jit the sharded batch is one
+    logical array, so XLA computes cross-replica means, i.e. sync-BN)."""
     from .state import create_train_state
     from .steps import make_vae_eval_step, make_vae_train_step
 
+    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
     key = jax.random.key(seed)
     key, init_key, noise_key = jax.random.split(key, 3)
     sample = jnp.asarray(to_float01(train_data[:2]))
@@ -177,8 +234,7 @@ def train_single_vae(
         if saved is not None:
             # Optimizer state restores into its own (typed) pytree target;
             # everything else is plain dict-of-arrays.
-            opt_state = (mgr.restore(state.opt_state, "resume_opt")
-                         if mgr.exists("resume_opt") else state.opt_state)
+            opt_state = mgr.restore_opt(state.opt_state)
             state = state.replace(
                 params=saved["params"], opt_state=opt_state,
                 batch_stats=saved.get("batch_stats"))
@@ -191,26 +247,31 @@ def train_single_vae(
             scheduler.bad_epochs = int(saved["sched_bad"])
             _log(f"resumed VAE from epoch {start_epoch}")
 
+    state = _replicate(state, rep)
+    history = []
     it = BatchIterator(np.arange(train_data.shape[0]), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
         t0, totals = time.time(), []
         for idx in it.epoch():
-            batch = jnp.asarray(to_float01(train_data[np.asarray(idx)]))
+            batch = _put_batch(to_float01(train_data[np.asarray(idx)]),
+                               batch_sh, axis=0)
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
-            totals.append(float(metrics["total"]))
-        _log(f"epoch {epoch}: train={np.mean(totals):.4f} "
+            totals.append(metrics["total"])
+        history.append(_mean_of(totals))
+        _log(f"epoch {epoch}: train={history[-1]:.4f} "
              f"({time.time() - t0:.1f}s)")
         if val_data is not None:
             # Full val split (reference evaluates every val batch,
             # train_polyupd.py:110-170).
             vals, weights = [], []
             for i in range(0, val_data.shape[0], batch_size):
-                vb = jnp.asarray(to_float01(val_data[i:i + batch_size]))
+                vb = _put_batch(to_float01(val_data[i:i + batch_size]),
+                                batch_sh, axis=0)
                 key, sub = jax.random.split(key)
-                vals.append(float(eval_step(state, vb, sub)["total"]))
+                vals.append(eval_step(state, vb, sub)["total"])
                 weights.append(vb.shape[0])
-            val = float(np.average(vals, weights=weights))
+            val = _weighted_mean(vals, weights)
             _log(f"epoch {epoch}: val={val:.4f}")
             new_opt, lr_now = scheduler.step(state.opt_state, val)
             state = state.replace(opt_state=new_opt)
@@ -221,18 +282,18 @@ def train_single_vae(
         if mgr:
             mgr.save_last(
                 {"params": state.params, "batch_stats": state.batch_stats})
-            _save_resume(mgr, {
+            mgr.save_resume({
                 "params": state.params, "batch_stats": state.batch_stats,
                 "epoch": epoch, "key": jax.random.key_data(key),
                 "best_metric": (np.nan if mgr.best_metric is None
                                 else mgr.best_metric),
                 "sched_best": (np.nan if scheduler.best is None
                                else scheduler.best),
-                "sched_bad": scheduler.bad_epochs})
-            mgr._ckpt.save(mgr._dir("resume_opt"), state.opt_state, force=True)
+                "sched_bad": scheduler.bad_epochs},
+                opt_state=state.opt_state)
     if mgr:
         mgr.wait()
-    return {"state": state}
+    return {"state": state, "history": history}
 
 
 def train_score_model(
@@ -259,8 +320,13 @@ def train_score_model(
     eval_fn: Optional[Callable] = None,
     metrics_path: Optional[str] = None,
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training of the latent score network.
+
+    - ``mesh``: optional DP mesh - score params/opt/EMA and the frozen
+      fleet replicated, pixel batches sharded (n_mod, B->data, ...); the
+      DSM gradient all-reduce rides ICI (SURVEY.md §2.8).
 
     - ``pixels_val``: full validation split; every epoch the DSM loss is
       computed over ALL of it with a FIXED PRNG key (same t/noise draws each
@@ -275,6 +341,8 @@ def train_score_model(
     """
     key = jax.random.key(seed + 100)
     val_key = jax.random.key(seed + 7919)  # fixed: comparable epoch-to-epoch
+    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
+    fleet_state = _replicate(fleet_state, rep)
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
     grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
     key, init_key = jax.random.split(key)
@@ -301,10 +369,13 @@ def train_score_model(
         if ckpt.get("best_metric") is not None:
             best = float(ckpt["best_metric"])
             mgr.best_metric = None if np.isnan(best) else best
-        if mgr.exists("resume_opt"):
-            # Adam moments survive preemption too (typed-pytree restore).
-            opt_state = mgr.restore(opt_state, "resume_opt")
+        # Adam moments survive preemption too (typed-pytree restore).
+        opt_state = mgr.restore_opt(opt_state)
         _log(f"resumed from epoch {start_epoch}")
+
+    params = _replicate(params, rep)
+    opt_state = _replicate(opt_state, rep)
+    ema = _replicate(ema, rep) if ema is not None else None
 
     @jax.jit
     def step(params, opt_state, ema, pixels, key):
@@ -346,24 +417,28 @@ def train_score_model(
         n, vals, weights = pixels_val.shape[1], [], []
         vkey = val_key
         for i in range(0, n, batch_size):
-            vb = jnp.asarray(gather_batch_01(
-                pixels_val, np.arange(i, min(i + batch_size, n))))
+            vb = _put_batch(gather_batch_01(
+                pixels_val, np.arange(i, min(i + batch_size, n))),
+                batch_sh, axis=1)
             vkey, sub = jax.random.split(vkey)
-            vals.append(float(val_step(params, vb, sub)))
+            vals.append(val_step(params, vb, sub))
             weights.append(vb.shape[1])
-        return float(np.average(vals, weights=weights))
+        return _weighted_mean(vals, weights)
 
     n = pixels_train.shape[1]
+    history = []
     train_iter = BatchIterator(np.arange(n), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for idx in train_iter.epoch():
-            batch = jnp.asarray(gather_batch_01(pixels_train, idx))
+            batch = _put_batch(gather_batch_01(pixels_train, idx),
+                               batch_sh, axis=1)
             key, sub = jax.random.split(key)
             params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses))
+            losses.append(loss)
+        train_loss = _mean_of(losses)
+        history.append(train_loss)
         _log(f"epoch {epoch}: dsm={train_loss:.5f} ({time.time()-t0:.1f}s)")
 
         val_loss = full_val_loss(params)
@@ -405,14 +480,14 @@ def train_score_model(
                     "best_metric": (np.nan if mgr.best_metric is None
                                     else mgr.best_metric)}
             mgr.save_last(ckpt)
-            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_opt(opt_state)
             # Best keys off validation DSM when a val split exists
             # (train loss otherwise - small-data fallback).
             mgr.save_best(ckpt, val_loss if val_loss is not None
                           else train_loss)
     if mgr:
         mgr.wait()
-    return {"params": params, "ema": ema}
+    return {"params": params, "ema": ema, "history": history}
 
 
 def _flatten_metrics(tree, prefix="") -> Dict[str, float]:
@@ -458,15 +533,18 @@ def train_het_score_model(
     metrics_path: Optional[str] = None,
     sampler_kwargs: Optional[Dict[str, Any]] = None,
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training over heterogeneous frozen AEs (the CelebA path,
     /root/reference/train_lat_celebhq_unet_cont2.py:376-561): encode the
     three modalities into the (B, hw, hw, 3) grid, DSM-update the score
     UNet; full-val loss, best-on-val checkpoints, EMA, preemption-safe
     resume and the every-``eval_every``-epoch calc_perf hook
-    (train_lat_celebhq_unet_cont2.py:559-561)."""
+    (train_lat_celebhq_unet_cont2.py:559-561). ``mesh``: optional DP mesh -
+    params replicated, per-modality input batches sharded on axis 0."""
     key = jax.random.key(seed + 100)
     val_key = jax.random.key(seed + 7919)
+    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
     logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
 
     def encode(inputs):
@@ -497,9 +575,12 @@ def train_het_score_model(
         if ckpt.get("best_metric") is not None:
             best = float(ckpt["best_metric"])
             mgr.best_metric = None if np.isnan(best) else best
-        if mgr.exists("resume_opt"):
-            opt_state = mgr.restore(opt_state, "resume_opt")
+        opt_state = mgr.restore_opt(opt_state)
         _log(f"resumed from epoch {start_epoch}")
+
+    params = _replicate(params, rep)
+    opt_state = _replicate(opt_state, rep)
+    ema = _replicate(ema, rep) if ema is not None else None
 
     @jax.jit
     def step(params, opt_state, ema, inputs, key):
@@ -534,9 +615,10 @@ def train_het_score_model(
         for i in range(0, n_val, batch_size):
             idx = np.arange(i, min(i + batch_size, n_val))
             vkey, sub = jax.random.split(vkey)
-            vals.append(float(val_step(params, gather_val(idx), sub)))
+            vb = _put_batch(gather_val(idx), batch_sh, axis=0)
+            vals.append(val_step(params, vb, sub))
             weights.append(len(idx))
-        return float(np.average(vals, weights=weights))
+        return _weighted_mean(vals, weights)
 
     pipeline = None
     if eval_every and eval_fn:
@@ -548,14 +630,17 @@ def train_het_score_model(
             sampler_kwargs=sampler_kwargs or {})
 
     it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
+    history = []
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
             key, sub = jax.random.split(key)
+            batch = _put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
             params, opt_state, ema, loss = step(
-                params, opt_state, ema, gather(np.asarray(idx)), sub)
-            losses.append(float(loss))
-        train_loss = float(np.mean(losses))
+                params, opt_state, ema, batch, sub)
+            losses.append(loss)
+        train_loss = _mean_of(losses)
+        history.append(train_loss)
         _log(f"epoch {epoch}: dsm={train_loss:.5f} ({time.time()-t0:.1f}s)")
 
         val_loss = full_val_loss(params)
@@ -575,9 +660,9 @@ def train_het_score_model(
                     "best_metric": (np.nan if mgr.best_metric is None
                                     else mgr.best_metric)}
             mgr.save_last(ckpt)
-            mgr._ckpt.save(mgr._dir("resume_opt"), opt_state, force=True)
+            mgr.save_opt(opt_state)
             mgr.save_best(ckpt, val_loss if val_loss is not None
                           else train_loss)
     if mgr:
         mgr.wait()
-    return {"params": params, "ema": ema}
+    return {"params": params, "ema": ema, "history": history}
