@@ -1,0 +1,252 @@
+"""Torch -> flax weight converters for the reference networks.
+
+These make reference-trained checkpoints loadable in-framework and back the
+numeric-parity tests: a torch ``state_dict`` of the reference module
+(/root/reference/unet_model.py:189-323 ``Unet``,
+/root/reference/h_vae_model_copy.py:91-137 ``ResVAE`` / :457-547 ``ResVAEN``,
+/root/reference/unet_openai.py:361-577 ``UNetModel``) is mapped onto the
+matching flax module's variables, after which outputs agree to float
+tolerance (tests/test_torch_parity.py).
+
+Layout conventions converted here:
+- Conv2d ``(O, I, kH, kW)`` -> flax ``(kH, kW, I, O)``.
+- ConvTranspose2d ``(I, O, kH, kW)`` -> flax ConvTranspose
+  ``(kH, kW, I, O)`` with the SPATIAL TAPS FLIPPED: torch's transposed conv
+  is the gradient of a correlation, flax's ``padding='SAME'`` path is a
+  fractionally-strided correlation, and the two coincide exactly under a
+  spatial flip (verified numerically for the k=4/s=2/p=1 Up/Downsample
+  shapes, unet_model.py:29-33).
+- Linear ``(O, I)`` -> ``(I, O)``.
+- Dense heads that flatten conv features permute their input (or output)
+  basis between torch's NCHW and this repo's NHWC flatten order
+  (h_vae_model_copy.py:68-70 mu/logvar heads, :104-126 z_lin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _np(v):
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def _conv(sd, name, bias=True):
+    out = {"kernel": jnp.asarray(_np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0))}
+    if bias:
+        out["bias"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+    return out
+
+
+def _conv_transpose(sd, name):
+    w = _np(sd[f"{name}.weight"])  # (I, O, kH, kW)
+    return {
+        "kernel": jnp.asarray(w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()),
+        "bias": jnp.asarray(_np(sd[f"{name}.bias"])),
+    }
+
+
+def _dense(sd, name):
+    return {"kernel": jnp.asarray(_np(sd[f"{name}.weight"]).T),
+            "bias": jnp.asarray(_np(sd[f"{name}.bias"]))}
+
+
+def _norm(sd, name):
+    return {"scale": jnp.asarray(_np(sd[f"{name}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{name}.bias"]))}
+
+
+def _bn(sd, name):
+    params = _norm(sd, name)
+    stats = {"mean": jnp.asarray(_np(sd[f"{name}.running_mean"])),
+             "var": jnp.asarray(_np(sd[f"{name}.running_var"]))}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Latent score UNet (unet_model.py Unet -> nn/unet.py LatentUNet)
+# ---------------------------------------------------------------------------
+
+def _convnext_block(sd, prefix, has_time):
+    """ConvNextBlock (unet_model.py:92-124) -> nn/blocks.py ConvNeXtBlock."""
+    out = {
+        "ds_conv": _conv(sd, f"{prefix}.ds_conv"),
+        "norm1": _norm(sd, f"{prefix}.net.0"),
+        "conv1": _conv(sd, f"{prefix}.net.1"),
+        "norm2": _norm(sd, f"{prefix}.net.3"),
+        "conv2": _conv(sd, f"{prefix}.net.4"),
+    }
+    if has_time and f"{prefix}.mlp.1.weight" in sd:
+        out["time_proj"] = _dense(sd, f"{prefix}.mlp.1")
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{prefix}.res_conv")
+    return out
+
+
+def _resnet_block(sd, prefix, has_time):
+    """ResnetBlock (unet_model.py:67-90) -> nn/blocks.py ResnetBlock."""
+    out = {
+        "block1": {"proj": _conv(sd, f"{prefix}.block1.proj"),
+                   "norm": _norm(sd, f"{prefix}.block1.norm")},
+        "block2": {"proj": _conv(sd, f"{prefix}.block2.proj"),
+                   "norm": _norm(sd, f"{prefix}.block2.norm")},
+    }
+    if has_time and f"{prefix}.mlp.1.weight" in sd:
+        out["time_proj"] = _dense(sd, f"{prefix}.mlp.1")
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv(sd, f"{prefix}.res_conv")
+    return out
+
+
+def _attention(sd, prefix, linear):
+    """(Linear)Attention inside Residual(PreNorm(.)) (unet_model.py:126-187).
+
+    Returns (attn_params, prenorm_params): flax adopts the attention module
+    at the UNet's top level (LinearAttention_k / Attention_k) while the
+    PreNorm GroupNorm lives under the named ``*_attn`` wrapper.
+    """
+    attn = {"to_qkv": _conv(sd, f"{prefix}.fn.fn.to_qkv", bias=False)}
+    if linear:
+        attn["to_out"] = _conv(sd, f"{prefix}.fn.fn.to_out.0")
+        attn["out_norm"] = _norm(sd, f"{prefix}.fn.fn.to_out.1")
+    else:
+        attn["to_out"] = _conv(sd, f"{prefix}.fn.fn.to_out")
+    return attn, {"norm": _norm(sd, f"{prefix}.fn.norm")}
+
+
+def load_torch_unet(state_dict, n_resolutions: int, use_convnext: bool = True):
+    """Reference ``Unet.state_dict()`` -> ``LatentUNet`` params dict.
+
+    ``n_resolutions`` = len(dim_mults). The flax module must be built with
+    the same (dim, init_dim, channels, dim_mults, use_convnext) config.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    block = _convnext_block if use_convnext else _resnet_block
+    params = {
+        "init_conv": _conv(sd, "init_conv"),
+        "time_mlp": {"fc1": _dense(sd, "time_mlp.1"),
+                     "fc2": _dense(sd, "time_mlp.3")},
+        "final_block": block(sd, "final_conv.0", has_time=False),
+        "final_conv": _conv(sd, "final_conv.1"),
+    }
+    n = n_resolutions
+    lin_idx = 0
+    for i in range(n):
+        params[f"down{i}_block1"] = block(sd, f"downs.{i}.0", True)
+        params[f"down{i}_block2"] = block(sd, f"downs.{i}.1", True)
+        attn, pre = _attention(sd, f"downs.{i}.2", linear=True)
+        params[f"LinearAttention_{lin_idx}"] = attn
+        params[f"down{i}_attn"] = pre
+        lin_idx += 1
+        if i < n - 1:
+            params[f"down{i}_down"] = _conv(sd, f"downs.{i}.3")
+    params["mid_block1"] = block(sd, "mid_block1", True)
+    attn, pre = _attention(sd, "mid_attn", linear=False)
+    params["Attention_0"] = attn
+    params["mid_attn"] = pre
+    params["mid_block2"] = block(sd, "mid_block2", True)
+    for j in range(n - 1):
+        params[f"up{j}_block1"] = block(sd, f"ups.{j}.0", True)
+        params[f"up{j}_block2"] = block(sd, f"ups.{j}.1", True)
+        attn, pre = _attention(sd, f"ups.{j}.2", linear=True)
+        params[f"LinearAttention_{lin_idx}"] = attn
+        params[f"up{j}_attn"] = pre
+        lin_idx += 1
+        params[f"up{j}_up"] = _conv_transpose(sd, f"ups.{j}.3")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ResVAE / ResVAEN (h_vae_model_copy.py) -> models/vae.py ResVAE
+# ---------------------------------------------------------------------------
+
+def _rblock(sd, prefix):
+    """RBlock/RBlockN (h_vae_model_copy.py:9-39/347-377) -> ResBlock."""
+    bn1_p, bn1_s = _bn(sd, f"{prefix}.conv.1")
+    bn2_p, bn2_s = _bn(sd, f"{prefix}.conv.4")
+    params = {
+        "conv1": _conv(sd, f"{prefix}.conv.0", bias=False),
+        "bn1": bn1_p,
+        "conv2": _conv(sd, f"{prefix}.conv.3", bias=False),
+        "bn2": bn2_p,
+    }
+    stats = {"bn1": bn1_s, "bn2": bn2_s}
+    # size_conv exists in the torch module even when unused; only map it
+    # when the flax module created one (in_width != out_width).
+    return params, stats
+
+
+def _nchw_to_nhwc_in_perm(C, H, W):
+    """Permutation p with flax_flat[i] = torch_flat[p[i]] for flattened
+    feature maps: torch NCHW order c*H*W+h*W+w, flax NHWC order
+    h*W*C+w*C+c."""
+    h, w, c = np.meshgrid(np.arange(H), np.arange(W), np.arange(C),
+                          indexing="ij")
+    return (c * H * W + h * W + w).reshape(-1)
+
+
+def load_torch_resvae(state_dict, enc_channel_list, dec_channel_list,
+                      size_in: int, size_z: int):
+    """Reference ``ResVAE``/``ResVAEN``/``ResAE(N)`` state_dict ->
+    ``models.vae.ResVAE`` variables ({"params", "batch_stats"}).
+
+    Handles the NCHW->NHWC basis permutations of the three dense layers that
+    flatten/unflatten conv features (mu_lin, logvar_lin, z_lin).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    params: dict = {"enc": {}, "dec": {}}
+    stats: dict = {"enc": {}, "dec": {}}
+
+    # Encoder stem (ch_enc: conv5x5, BN, act, avgpool).
+    params["enc"]["stem_conv"] = _conv(sd, "enc.ch_enc.0")
+    bn_p, bn_s = _bn(sd, "enc.ch_enc.1")
+    params["enc"]["stem_bn"], stats["enc"]["stem_bn"] = bn_p, bn_s
+
+    for i, (cin, mid, out, rate) in enumerate(enc_channel_list):
+        p, s = _rblock(sd, f"enc.r_blocks.{i}")
+        if cin != out:
+            p["size_conv"] = _conv(sd, f"enc.r_blocks.{i}.size_conv",
+                                   bias=False)
+        params["enc"][f"block{i}"], stats["enc"][f"block{i}"] = p, s
+
+    # mu/logvar heads: torch flattens the NCHW half-map; flax the NHWC one.
+    feat_size = size_in // 2
+    for _, _, _, rate in enc_channel_list:
+        feat_size //= rate
+    c_half = enc_channel_list[-1][2] // 2
+    perm = _nchw_to_nhwc_in_perm(c_half, feat_size, feat_size)
+    for tname, fname in (("enc.mu_lin", "mu_lin"),
+                         ("enc.logvar_lin", "logvar_lin")):
+        w = _np(sd[f"{tname}.weight"])  # (size_z, flat)
+        params["enc"][fname] = {
+            "kernel": jnp.asarray(w[:, perm].T),
+            "bias": jnp.asarray(_np(sd[f"{tname}.bias"])),
+        }
+
+    # Decoder z_lin: torch output reshapes to NCHW, flax to NHWC.
+    dec_init = size_in
+    for _, _, _, rate in dec_channel_list:
+        dec_init //= rate
+    c0 = dec_channel_list[0][0]
+    out_perm = _nchw_to_nhwc_in_perm(c0, dec_init, dec_init)
+    zw = _np(sd["z_lin.weight"])  # (flat, size_z)
+    zb = _np(sd["z_lin.bias"])
+    params["dec"]["z_lin"] = {"kernel": jnp.asarray(zw[out_perm].T),
+                              "bias": jnp.asarray(zb[out_perm])}
+
+    for i, (cin, mid, out, rate) in enumerate(dec_channel_list):
+        p, s = _rblock(sd, f"dec.r_blocks.{i}")
+        if cin != out:
+            p["size_conv"] = _conv(sd, f"dec.r_blocks.{i}.size_conv",
+                                   bias=False)
+        params["dec"][f"block{i}"], stats["dec"][f"block{i}"] = p, s
+
+    # Head: ch_dec.0 is a plain RBlock (same shape in/out, no size_conv
+    # mapped), ch_dec.1 the 5x5 conv (h_vae_model_copy.py:80-84/417-424).
+    p, s = _rblock(sd, "dec.ch_dec.0")
+    params["dec"]["head_block"], stats["dec"]["head_block"] = p, s
+    params["dec"]["head_conv"] = _conv(sd, "dec.ch_dec.1")
+    return {"params": params, "batch_stats": stats}

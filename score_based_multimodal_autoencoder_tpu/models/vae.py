@@ -49,7 +49,8 @@ def _activation(name: str):
     if name == "leaky_relu_0.1":
         return lambda x: nn.leaky_relu(x, 0.1)
     if name == "gelu":
-        return nn.gelu
+        # torch nn.GELU() is exact erf (the reference default), not tanh.
+        return lambda x: nn.gelu(x, approximate=False)
     if name == "relu":
         return nn.relu
     raise ValueError(name)
@@ -169,7 +170,11 @@ class ResDecoder(nn.Module):
                 upsample_mode=self.upsample_mode, dtype=self.dtype, name=f"block{i}",
             )(x, train)
         last = self.channel_list[-1][2]
-        x = ResBlock(last, last, act=self.act, upsample_mode=self.upsample_mode,
+        # Reference quirk kept: even the celeb ("N") decoder's head block is
+        # a plain RBlock - LeakyReLU(0.2), NOT GELU (ResDecoderN.ch_dec,
+        # h_vae_model_copy.py:419-424). It has no resize, so the upsample
+        # mode is moot.
+        x = ResBlock(last, last, act="leaky_relu_0.2",
                      dtype=self.dtype, name="head_block")(x, train)
         x = nn.Conv(self.img_ch, (5, 5), padding=2, dtype=self.dtype, name="head_conv")(x)
         if self.sigmoid_out:

@@ -34,7 +34,7 @@ class ProjectionHead(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         projected = nn.Dense(self.projection_dim, dtype=self.dtype,
                              name="projection")(x)
-        h = nn.gelu(projected)
+        h = nn.gelu(projected, approximate=False)
         h = nn.Dense(self.projection_dim, dtype=self.dtype, name="fc")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = h + projected

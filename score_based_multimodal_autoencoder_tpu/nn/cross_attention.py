@@ -131,7 +131,8 @@ class TokenCrossBlock(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="n2")(x + m)
         t = SinusoidalTimeEmbedding(self.z_dim)(time).astype(self.dtype)
         t = nn.Dense(self.z_dim, dtype=self.dtype, name="time_fc1")(t)
-        t = nn.Dense(self.z_dim, dtype=self.dtype, name="time_fc2")(nn.gelu(t))
+        t = nn.Dense(self.z_dim, dtype=self.dtype, name="time_fc2")(
+            nn.gelu(t, approximate=False))
         return x + t[:, None, :]
 
 

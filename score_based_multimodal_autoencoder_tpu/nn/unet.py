@@ -88,6 +88,12 @@ class LatentUNet(nn.Module):
     # Run ConvNeXt depthwise 7x7 convs as per-channel HWxHW matmuls on the
     # MXU (identical math + param tree; nn/blocks.py DepthwiseConvMXU).
     mxu_depthwise: bool = False
+    # Route linear attention through the fused Pallas kernel
+    # (ops/linear_attention.py). Forward-only: sampling-time knob.
+    pallas_linear_attn: bool = False
+    # tanh-approximated GELU instead of exact erf: ~1.3x faster sampling on
+    # TPU (see nn/blocks.py ConvNeXtBlock). Default False = torch parity.
+    approx_gelu: bool = False
     # Optional global-z conditioning injected at the bottleneck (UnetZ,
     # unet_model.py:1005-1135): z -> Dense(mid)/GELU/Dense(mid), added to
     # the feature map after mid_block1 AND after mid_block2.
@@ -98,7 +104,8 @@ class LatentUNet(nn.Module):
             return ConvNeXtBlock(
                 dim=dim_in, dim_out=dim_out, mult=self.convnext_mult,
                 dtype=self.dtype, fused_norms=self.fused_norms,
-                mxu_depthwise=self.mxu_depthwise, name=name,
+                mxu_depthwise=self.mxu_depthwise,
+                approx_gelu=self.approx_gelu, name=name,
             )
         return ResnetBlock(
             dim_out=dim_out, groups=self.resnet_block_groups,
@@ -116,7 +123,8 @@ class LatentUNet(nn.Module):
 
         t = None
         if self.with_time_emb:
-            t = TimeMLP(self.dim, self.dim * 4, dtype=self.dtype, name="time_mlp")(time)
+            t = TimeMLP(self.dim, self.dim * 4, dtype=self.dtype,
+                        approx_gelu=self.approx_gelu, name="time_mlp")(time)
 
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         n_res = len(self.dim_mults)
@@ -127,7 +135,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_in, dim_out, f"down{i}_block1")(x, t)
             x = self._block(dim_out, dim_out, f"down{i}_block2")(x, t)
             x = PreNormResidual(
-                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms),
+                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
+                                pallas_attn=self.pallas_linear_attn),
                 fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
@@ -139,7 +148,8 @@ class LatentUNet(nn.Module):
         if self.z_dim is not None and z is not None:
             zb = nn.Dense(mid_dim, dtype=self.dtype, name="z_fc1")(
                 z.astype(self.dtype))
-            zb = nn.Dense(mid_dim, dtype=self.dtype, name="z_fc2")(nn.gelu(zb))
+            zb = nn.Dense(mid_dim, dtype=self.dtype, name="z_fc2")(
+                nn.gelu(zb, approximate=self.approx_gelu))
             zb = zb[:, None, None, :]
         x = self._block(mid_dim, mid_dim, "mid_block1")(x, t)
         if zb is not None:
@@ -161,7 +171,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_out * 2, dim_in, f"up{j}_block1")(x, t)
             x = self._block(dim_in, dim_in, f"up{j}_block2")(x, t)
             x = PreNormResidual(
-                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms),
+                LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
+                                pallas_attn=self.pallas_linear_attn),
                 fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)

@@ -40,7 +40,7 @@ def _act(name, x):
     if name == "silu":
         return x * jax.nn.sigmoid(x)
     if name == "gelu":
-        return jax.nn.gelu(x)
+        return jax.nn.gelu(x, approximate=False)
     if name == "none":
         return x
     raise ValueError(name)
@@ -163,7 +163,8 @@ def _bwd(groups, eps, act, interpret, res, g):
         s = jax.nn.sigmoid(z.astype(jnp.float32))
         dact = s * (1 + z.astype(jnp.float32) * (1 - s))
     elif act == "gelu":
-        dact = jax.grad(lambda v: jnp.sum(jax.nn.gelu(v)))(z.astype(jnp.float32))
+        dact = jax.grad(lambda v: jnp.sum(jax.nn.gelu(v, approximate=False)))(
+            z.astype(jnp.float32))
     else:
         dact = jnp.ones_like(z, jnp.float32)
     gz = g.astype(jnp.float32) * dact  # dL/dz

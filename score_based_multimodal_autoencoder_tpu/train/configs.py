@@ -95,6 +95,8 @@ class ScoreConfig:
     init_dim: Optional[int] = None
     fused_norms: bool = False
     mxu_depthwise: bool = False
+    # tanh-approx GELU (vs torch-exact erf): ~1.3x faster sampling on TPU.
+    approx_gelu: bool = False
 
     @classmethod
     def polymnist(cls, **kw):
@@ -112,10 +114,12 @@ class ScoreConfig:
         128 (the MXU lane count - 85 channels pad to 128 lanes anyway, so
         the extra width is free) and the depthwise 7x7 convs - the hottest
         op family in the sampled HLO profile - run as per-channel HWxHW
-        matmuls on the MXU (identical math)."""
+        matmuls on the MXU (identical math). GELUs use the tanh
+        approximation (erf's polynomial dominates the VPU: 1625 -> 2084
+        samples/s in the sampling bench; max abs act diff ~1e-3)."""
         defaults = dict(preset="polymnist", dim=128, channels=10,
                         dim_mults=(1, 2, 2, 2), latent_hw=8, sample_n=100,
-                        init_dim=128, mxu_depthwise=True)
+                        init_dim=128, mxu_depthwise=True, approx_gelu=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -131,10 +135,11 @@ class ScoreConfig:
     @classmethod
     def celebhq_tpu(cls, **kw):
         """CelebA flagship tuned for TPU (stem 170 -> 256, MXU depthwise
-        on the <=8x8 levels)."""
+        on the <=16x16 levels, tanh-approx GELU)."""
         defaults = dict(preset="celebhq", dim=256, channels=3,
                         dim_mults=(1, 2, 2, 2, 2), latent_hw=16,
-                        sample_n=1000, init_dim=256, mxu_depthwise=True)
+                        sample_n=1000, init_dim=256, mxu_depthwise=True,
+                        approx_gelu=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -148,6 +153,7 @@ class ScoreConfig:
                           init_dim=self.init_dim,
                           fused_norms=self.fused_norms,
                           mxu_depthwise=self.mxu_depthwise,
+                          approx_gelu=self.approx_gelu,
                           dtype=dtype or jnp.float32)
 
     def build_sde(self, sample: bool = False):

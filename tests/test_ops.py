@@ -11,10 +11,14 @@ from score_based_multimodal_autoencoder_tpu.ops import fused_group_norm_act
 
 
 def _ref(x, gamma, beta, groups, act):
-    gn = nn.GroupNorm(num_groups=groups, use_bias=False, use_scale=False)
+    gn = nn.GroupNorm(num_groups=groups, use_bias=False, use_scale=False,
+                      epsilon=1e-5)
     y = gn.init_with_output(jax.random.key(0), x)[0]
     y = y * gamma + beta
-    return {"silu": nn.silu, "gelu": nn.gelu, "none": lambda v: v}[act](y)
+    # Exact-erf GELU: the kernel matches torch nn.GELU() (see nn/blocks.py).
+    return {"silu": nn.silu,
+            "gelu": lambda v: nn.gelu(v, approximate=False),
+            "none": lambda v: v}[act](y)
 
 
 @pytest.mark.parametrize("act", ["silu", "gelu", "none"])
@@ -46,6 +50,45 @@ def test_gradients_match_autodiff_reference():
     g_ref = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
     for a, b in zip(g_ours, g_ref):
         np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_linear_attention_matches_xla_composition():
+    """The Pallas linear-attention kernel == the XLA einsum composition in
+    nn.blocks.LinearAttention (same channel-contiguous split, f32
+    softmaxes, q scale)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_linear_attention,
+    )
+
+    heads, d = 4, 32
+    hidden = heads * d
+    B, N = 4, 64
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * hidden))
+    got = fused_linear_attention(qkv, heads, d, interpret=True)
+
+    q, k, v = [p.reshape(B, N, heads, d) for p in jnp.split(qkv, 3, axis=-1)]
+    q = nn.softmax(q, axis=-1) * d ** -0.5
+    k = nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    want = jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_linear_attention_module_pallas_flag_matches():
+    """LinearAttention(pallas_attn=True) produces the same outputs as the
+    default path with identical params (sampling-time swap is lossless)."""
+    from score_based_multimodal_autoencoder_tpu.nn.blocks import (
+        LinearAttention,
+    )
+
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 16))
+    ref_mod = LinearAttention()
+    params = ref_mod.init(jax.random.key(2), x)
+    want = ref_mod.apply(params, x)
+    got = LinearAttention(pallas_attn=True).apply(params, x)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_bf16_input_dtype_preserved():

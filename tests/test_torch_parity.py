@@ -1,0 +1,178 @@
+"""Numeric parity against the ACTUAL reference torch networks.
+
+These tests import the reference modules from /root/reference, randomly
+initialize them, convert the state_dict with models/convert.py, and assert
+the flax modules produce the same outputs - turning the docstring parity
+claims into evidence (VERDICT r2 #2). Reference-trained checkpoints load
+through the same converters.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+
+# h_vae_model_copy imports torchvision only for Res50CLF; stub it out
+# (torchvision is absent in this environment).
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tv.models = types.SimpleNamespace(resnet50=lambda *a, **k: None)
+    sys.modules["torchvision"] = tv
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from score_based_multimodal_autoencoder_tpu.models.convert import (  # noqa: E402
+    load_torch_resvae,
+    load_torch_unet,
+)
+
+
+def _nhwc(x_torch):
+    return jnp.asarray(x_torch.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _assert_close(flax_out_nhwc, torch_out_nchw, atol=1e-4):
+    got = np.asarray(flax_out_nhwc).transpose(0, 3, 1, 2)
+    want = torch_out_nchw.detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=atol)
+
+
+@pytest.mark.parametrize("use_convnext", [True, False])
+def test_latent_unet_parity_small(use_convnext):
+    """Small-config Unet (unet_model.py:189-323) == LatentUNet after weight
+    conversion, both block families."""
+    import unet_model
+
+    torch.manual_seed(0)
+    # ResNet blocks GroupNorm(8) over dim_out -> widths must divide by 8.
+    dim, channels, mults = (12 if use_convnext else 16), 3, (1, 2)
+    tnet = unet_model.Unet(dim=dim, channels=channels, dim_mults=mults,
+                           use_convnext=use_convnext).eval()
+    x = torch.randn(2, channels, 8, 8)
+    t = torch.rand(2)
+    with torch.no_grad():
+        want = tnet(x, t)
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    fnet = LatentUNet(dim=dim, channels=channels, dim_mults=mults,
+                      use_convnext=use_convnext)
+    params = load_torch_unet(tnet.state_dict(), len(mults), use_convnext)
+    got = fnet.apply({"params": params}, _nhwc(x),
+                     jnp.asarray(t.numpy()))
+    _assert_close(got, want)
+
+
+def test_latent_unet_parity_flagship_config():
+    """The shipped PolyMNIST flagship (dim=128, channels=10, (1,2,2,2),
+    train_poly_unet_cont.py:567-572) converts and matches end to end."""
+    import unet_model
+
+    torch.manual_seed(1)
+    dim, channels, mults = 128, 10, (1, 2, 2, 2)
+    tnet = unet_model.Unet(dim=dim, channels=channels, dim_mults=mults).eval()
+    x = torch.randn(2, channels, 8, 8)
+    t = torch.rand(2)
+    with torch.no_grad():
+        want = tnet(x, t)
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    fnet = LatentUNet(dim=dim, channels=channels, dim_mults=mults)
+    params = load_torch_unet(tnet.state_dict(), len(mults))
+    got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()))
+    _assert_close(got, want, atol=3e-4)
+
+
+def test_latent_unet_parity_mxu_depthwise():
+    """The MXU-depthwise TPU path is the same math: converted reference
+    weights give the same outputs through DepthwiseConvMXU."""
+    import unet_model
+
+    torch.manual_seed(2)
+    dim, channels, mults = 12, 3, (1, 2)
+    tnet = unet_model.Unet(dim=dim, channels=channels, dim_mults=mults).eval()
+    x = torch.randn(2, channels, 8, 8)
+    t = torch.rand(2)
+    with torch.no_grad():
+        want = tnet(x, t)
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    fnet = LatentUNet(dim=dim, channels=channels, dim_mults=mults,
+                      mxu_depthwise=True)
+    params = load_torch_unet(tnet.state_dict(), len(mults))
+    got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()))
+    _assert_close(got, want)
+
+
+def test_resvae_poly_parity():
+    """Reference ResVAE (h_vae_model_copy.py:91-137) at the shipped
+    PolyMNIST config == models.vae.ResVAE('poly') after conversion:
+    encoder (mu, logvar) and decoder output."""
+    import h_vae_model_copy as ref
+
+    torch.manual_seed(3)
+    enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
+    dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
+    tvae = ref.ResVAE(enc, dec, size_in=32, size_z=64, img_ch=3).eval()
+
+    from score_based_multimodal_autoencoder_tpu.models import ResVAE
+
+    fvae = ResVAE(tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+                  size_in=32, size_z=64, img_ch=3, variant="poly")
+    variables = load_torch_resvae(tvae.state_dict(), enc, dec, 32, 64)
+
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        mu_t, logvar_t = tvae.encoder(x)
+    mu_f, logvar_f = fvae.apply(variables, _nhwc(x), method=fvae.encoder)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar_f), logvar_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    z = torch.randn(2, 64)
+    with torch.no_grad():
+        out_t = tvae.decoder(z)
+    out_f = fvae.apply(variables, jnp.asarray(z.numpy()), method=fvae.decoder)
+    _assert_close(out_f, out_t)
+
+
+def test_resvaen_celeb_parity():
+    """Reference ResVAEN (h_vae_model_copy.py:457-547; GELU blocks,
+    LeakyReLU-0.1 stem, bilinear upsample, sigmoid head, plain-RBlock head
+    block) == variant='celeb' after conversion."""
+    import h_vae_model_copy as ref
+
+    torch.manual_seed(4)
+    enc = [(8, 16, 16, 2), (16, 32, 32, 2)]
+    dec = [(32, 16, 16, 2), (16, 16, 16, 2)]
+    tvae = ref.ResVAEN(enc, dec, size_in=32, size_z=16, img_ch=3).eval()
+
+    from score_based_multimodal_autoencoder_tpu.models import ResVAE
+
+    fvae = ResVAE(tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+                  size_in=32, size_z=16, img_ch=3, variant="celeb")
+    variables = load_torch_resvae(tvae.state_dict(), enc, dec, 32, 16)
+
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        mu_t, logvar_t = tvae.encoder(x)
+    mu_f, logvar_f = fvae.apply(variables, _nhwc(x), method=fvae.encoder)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar_f), logvar_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    z = torch.randn(2, 16)
+    with torch.no_grad():
+        out_t = tvae.decoder(z)
+    out_f = fvae.apply(variables, jnp.asarray(z.numpy()), method=fvae.decoder)
+    _assert_close(out_f, out_t)
