@@ -37,6 +37,19 @@ def main():
                    help="PolyMNIST classifier checkpoint for coherence")
     p.add_argument("--noise-obs", action="store_true")
     p.add_argument("--pc", action="store_true")
+    p.add_argument("--track", default="sde", choices=["sde", "ae"],
+                   help="'ae' evaluates the annealed-Langevin AE track: "
+                        "--vae-ckpt is a --vae-type ae fleet, --score-ckpt "
+                        "a --track ae sigma-score net (gen_ae, "
+                        "fid_upd10.py:56-110)")
+    p.add_argument("--sigma-max", type=float, default=5.0)
+    p.add_argument("--sigma-min", type=float, default=0.1)
+    p.add_argument("--sigma-levels", type=int, default=200)
+    p.add_argument("--er", type=float, default=None,
+                   help="annealed step rate override (default: the "
+                        "reference's tuned rule, fid_upd10.py:64-71)")
+    p.add_argument("--c", type=float, default=None)
+    p.add_argument("--iter-num", type=int, default=None)
     p.add_argument("--ebm-ckpt", default=None,
                    help="pairwise coherence EBM checkpoint for guidance")
     p.add_argument("--cl-s", default="1.0",
@@ -93,11 +106,27 @@ def main():
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
-    pipeline = SBMAEPipeline(
-        fleet=fleet, fleet_state=fleet_state, score_model=model,
-        score_params=score["params"], sde=score_cfg.build_sde(sample=True),
-        latent_hw=score_cfg.latent_hw,
-        sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+    if args.track == "ae":
+        # Annealed-Langevin AE track (gen_ae, fid_upd10.py:56-110): the
+        # sigma-index score net + AE fleet through the same protocols.
+        from ..pipeline import AnnealedSBMAEPipeline
+
+        overrides = {k: v for k, v in (("er", args.er), ("c", args.c),
+                                       ("iter_num", args.iter_num))
+                     if v is not None}
+        pipeline = AnnealedSBMAEPipeline(
+            fleet=fleet, fleet_state=fleet_state, score_model=model,
+            score_params=score["params"], sde=None,
+            latent_hw=score_cfg.latent_hw, sampler_kwargs=overrides,
+            sigma_max=args.sigma_max, sigma_min=args.sigma_min,
+            n_levels=args.sigma_levels)
+    else:
+        pipeline = SBMAEPipeline(
+            fleet=fleet, fleet_state=fleet_state, score_model=model,
+            score_params=score["params"],
+            sde=score_cfg.build_sde(sample=True),
+            latent_hw=score_cfg.latent_hw,
+            sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
 
     samplers = {"score": pipeline}
     for spec in args.baseline:

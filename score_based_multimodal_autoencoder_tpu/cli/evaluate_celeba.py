@@ -42,9 +42,34 @@ def main():
     p.add_argument("--sample-n", type=int, default=1000)
     p.add_argument("--noise-obs", action="store_true")
     p.add_argument("--pc", action="store_true")
-    p.add_argument("--fid", default="inception", choices=["inception", "none"],
-                   help="'none' skips image FID (metrics-only sweep)")
+    p.add_argument("--track", default="sde",
+                   choices=["sde", "annealed-vae", "annealed-ae"],
+                   help="annealed-* evaluates through sigma-annealed "
+                        "Langevin with the reference's per-given-set tuned "
+                        "(er, c) grids (eval_lat_celeba_hq_all.py:211-343, "
+                        ":498-513); --score-ckpt must be a --track ae "
+                        "sigma-score net and the stage-1 ckpts the matching "
+                        "VAE/AE track")
+    p.add_argument("--sigma-levels", type=int, default=500)
+    p.add_argument("--iter-num", type=int, default=2)
+    p.add_argument("--fid", default="inception",
+                   choices=["inception", "proxy", "none"],
+                   help="'none' skips image FID; 'proxy' uses cheap "
+                        "pixel-moment features (CI-sized smoke runs)")
+    p.add_argument("--fid-n-times", type=int, default=1,
+                   help="regenerate each cell N times; report mean +/- std "
+                        "(the reference's fid_n_times=5 protocol, "
+                        "fid_upd10.py:556-587)")
     p.add_argument("--inception-weights", default=None)
+    p.add_argument("--refiner-ckpt", default=None,
+                   help="DiffuseVAE refiner checkpoint: adds the refined "
+                        "image-FID column (eval_lat_celeba_hq_all.py:72-122)")
+    p.add_argument("--refiner-channels", type=int, default=128)
+    p.add_argument("--refiner-mult", default="1,2,2,3,4")
+    p.add_argument("--refiner-res-blocks", type=int, default=2)
+    p.add_argument("--refiner-attn", default="16",
+                   help="comma list of attention resolutions ('' for none)")
+    p.add_argument("--refiner-timesteps", type=int, default=1000)
     p.add_argument("--clf-ckpt", default=None,
                    help="attr classifier checkpoint: adds the FGSM row")
     p.add_argument("--fgsm-eps", type=float, default=0.02)
@@ -86,6 +111,43 @@ def main():
         from ..eval.inception import make_inception_feature_fn
 
         feature_fn = make_inception_feature_fn(args.inception_weights)
+    elif args.fid == "proxy":
+        # Pixel-moment proxy features (the cli.evaluate smoke fallback).
+        def feature_fn(x):
+            f = x.reshape(x.shape[0], -1)
+            return jnp.concatenate(
+                [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
+                 f[:, ::max(1, f.shape[1] // 64)]], -1)
+
+    refine_fn = None
+    if args.refiner_ckpt:
+        # DiffuseVAE sharpening of the generated image modality before FID,
+        # the reference's quantitative-eval refinement
+        # (eval_lat_celeba_hq_all.py:72-122, refiner built at :448); loaded
+        # exactly as cli/sample_celeba.py does for the qualitative grids.
+        from ..diffusion.ddpm import DDPMSchedule, ddpm_refiner_sample
+        from ..nn.unet_adm import ADMUNet
+
+        refiner = ADMUNet(
+            in_channels=6, model_channels=args.refiner_channels,
+            out_channels=3, num_res_blocks=args.refiner_res_blocks,
+            attention_resolutions=tuple(
+                int(v) for v in args.refiner_attn.split(",") if v),
+            channel_mult=tuple(int(v) for v in args.refiner_mult.split(",")),
+            num_heads=8)
+        refiner_params = CheckpointManager(
+            args.refiner_ckpt).restore_raw("last")["params"]
+        schedule = DDPMSchedule(timesteps=args.refiner_timesteps)
+
+        def refine_fn(key, images01):
+            cond = 2.0 * jnp.asarray(images01) - 1.0
+
+            def denoise_fn(x_and_cond, t):
+                return refiner.apply({"params": refiner_params}, x_and_cond, t)
+
+            out = ddpm_refiner_sample(key, denoise_fn, schedule, cond,
+                                      cond.shape)
+            return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
     models = {}
     if args.score_ckpt:
@@ -106,11 +168,20 @@ def main():
         score_cfg = cfg_fn(sample_n=args.sample_n, dim=args.dim,
                                         latent_hw=hw, **extra)
         score = CheckpointManager(args.score_ckpt).restore_raw("last")
-        models["score"] = HeterogeneousPipeline(
-            modalities=mods, score_model=score_cfg.build_model(),
-            score_params=score["params"], sde=score_cfg.build_sde(sample=True),
-            latent_hw=hw,
-            sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+        if args.track.startswith("annealed"):
+            from ..pipeline_celeba import AnnealedHeterogeneousPipeline
+
+            models["score"] = AnnealedHeterogeneousPipeline(
+                modalities=mods, score_model=score_cfg.build_model(),
+                score_params=score["params"], sde=None, latent_hw=hw,
+                n_levels=args.sigma_levels, iter_num=args.iter_num,
+                track=args.track.split("-")[1])
+        else:
+            models["score"] = HeterogeneousPipeline(
+                modalities=mods, score_model=score_cfg.build_model(),
+                score_params=score["params"],
+                sde=score_cfg.build_sde(sample=True), latent_hw=hw,
+                sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
 
     for spec in args.baseline:
         mix_type, _, ckpt = spec.partition("=")
@@ -154,7 +225,8 @@ def main():
         key, sub = jax.random.split(key)
         results = celeba_protocol(
             pipe, sub, images, masks, attrs, given_sets=given_sets,
-            feature_fn=feature_fn, batch_size=min(64, args.amount))
+            feature_fn=feature_fn, batch_size=min(64, args.amount),
+            refine_fn=refine_fn, n_repeats=args.fid_n_times)
         for r in results:
             r["model"] = name
             rows.append(r)
@@ -181,6 +253,8 @@ def main():
     # eval_lat_celeba_hq_all.py:520-528).
     cols = ["model", "given", "image_fid", "mask_f1", "mask_acc",
             "attr_f1", "attr_acc"]
+    if args.refiner_ckpt:
+        cols.insert(3, "image_fid_refined")
     print("  ".join(f"{c:>10}" for c in cols), flush=True)
     for r in rows:
         print("  ".join(

@@ -41,6 +41,16 @@ def main():
     p.add_argument("--beta1", type=float, default=20.0)
     p.add_argument("--sde-type", default="vpsde",
                    choices=["vpsde", "subvpsde", "vesde"])
+    p.add_argument("--track", default="sde", choices=["sde", "ae"],
+                   help="'ae' trains the sigma-index-conditioned NCSN score "
+                        "net over the AE-track latents (consumed by the "
+                        "annealed-Langevin samplers, fid_upd10.py:85-110); "
+                        "point --vae-ckpt at a --vae-type ae fleet")
+    p.add_argument("--sigma-max", type=float, default=5.0)
+    p.add_argument("--sigma-min", type=float, default=0.1)
+    p.add_argument("--sigma-levels", type=int, default=None,
+                   help="NCSN grid size (default: 200 polymnist / "
+                        "500 celebhq, the reference grids)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=500)
@@ -79,6 +89,12 @@ def main():
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
+
+    ncsn_sigmas = None
+    if args.track == "ae":
+        levels = args.sigma_levels or (
+            500 if args.preset == "celebhq" else 200)
+        ncsn_sigmas = np.linspace(args.sigma_max, args.sigma_min, levels)
 
     if args.preset == "celebhq":
         # Three heterogeneous frozen VAEs -> (B, hw, hw, 3) latent grid ->
@@ -150,7 +166,8 @@ def main():
             importance_sampling=args.im_sample, seed=args.seed,
             ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
             eval_every=args.eval_every, eval_fn=eval_fn,
-            metrics_path=args.metrics, resume=args.resume, mesh=mesh)
+            metrics_path=args.metrics, resume=args.resume, mesh=mesh,
+            ncsn_sigmas=ncsn_sigmas)
         return
 
     if args.synthetic:
@@ -219,7 +236,8 @@ def main():
         importance_sampling=args.im_sample, seed=args.seed,
         ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
         eval_every=args.eval_every, eval_fn=eval_fn,
-        metrics_path=args.metrics, resume=args.resume, mesh=mesh)
+        metrics_path=args.metrics, resume=args.resume, mesh=mesh,
+        ncsn_sigmas=ncsn_sigmas)
 
 
 if __name__ == "__main__":

@@ -44,15 +44,20 @@ def annealed_langevin_sampler(
         per the reference convention (fid_upd10.py:96: ``score/sigma``).
       x_init: (B, H, W, C) grid; observed channels hold clean encodings.
       predicted_mask: (C,) bool, True = channel to update.
+      er, c: step-size rate and noise scale; scalars, or (C,) arrays for
+        the reference's per-modality tuned grids
+        (eval_lat_celeba_hq_all.py:498-513, applied per channel at :273-276).
     """
     sigmas = jnp.linspace(sigma_max, sigma_min, n_levels)
     mask = jnp.asarray(predicted_mask)
+    er = jnp.asarray(er, x_init.dtype)
+    c = jnp.asarray(c, x_init.dtype)
     B = x_init.shape[0]
 
     def level_step(carry, level):
         x, key = carry
         sigma_l = sigmas[level]
-        alpha = er * sigma_l**2 / sigmas[-1] ** 2
+        alpha = er * sigma_l**2 / sigmas[-1] ** 2  # scalar or per-channel
         idx = jnp.full((B,), level, jnp.int32)
         sig = jnp.full((B,), sigma_l, x.dtype)
 

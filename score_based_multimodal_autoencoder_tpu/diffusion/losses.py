@@ -118,3 +118,34 @@ def dsm_loss(
         per_example = reduce_op(flatten_batch(losses))
 
     return jnp.mean(per_example)
+
+
+def ncsn_dsm_loss(key, score_fn, sigmas, batch, *, reduce_mean=True):
+    """Discrete multi-sigma (NCSN) denoising score matching for the AE
+    track's sigma-indexed score nets.
+
+    The reference's AE-score training script is absent from the mirror; this
+    supplies the standard NCSN objective consistent with the surviving
+    consumption contract (gen_ae, /root/reference/fid_upd10.py:85-101;
+    eval_lat_celeba_hq_all.py:268-276): the net takes the LEVEL INDEX as its
+    time input and estimates ``sigma * score`` (samplers divide the output
+    by sigma), so with x_sigma = x + sigma * eps the sigma^2-weighted DSM
+    loss collapses to E ||net(x_sigma, idx) + eps||^2.
+
+    Args:
+      sigmas: (L,) noise levels (reference grid: linspace(5, 0.1, 200)
+        PolyMNIST / linspace(5, 0.1, 500) CelebA).
+      score_fn: ``(x, level_idx_float) -> sigma * score``.
+    """
+    idx_key, z_key = jax.random.split(key)
+    B = batch.shape[0]
+    sigmas = jnp.asarray(sigmas, batch.dtype)
+    idx = jax.random.randint(idx_key, (B,), 0, sigmas.shape[0])
+    sigma = sigmas[idx]
+    z = jax.random.normal(z_key, batch.shape, batch.dtype)
+    perturbed = batch + batch_mul(sigma, z)
+    net = score_fn(perturbed, idx.astype(batch.dtype))
+    losses = (net + z) ** 2
+    per_example = (jnp.mean(flatten_batch(losses), -1) if reduce_mean
+                   else 0.5 * jnp.sum(flatten_batch(losses), -1))
+    return jnp.mean(per_example)

@@ -33,8 +33,16 @@ def evaluate_given_set(
     feature_fn: Optional[Callable] = None,
     att_threshold: float = 0.5,
     batch_size: int = 64,
+    refine_fn: Optional[Callable] = None,
 ) -> Dict[str, float]:
-    """One given-set: generate missing modalities, score each against truth."""
+    """One given-set: generate missing modalities, score each against truth.
+
+    ``refine_fn(key, images01) -> images01``: optional DiffuseVAE refiner
+    applied to the GENERATED image modality before a second FID, the
+    reference's headline image protocol (eval_lat_celeba_hq_all.py:72-122,
+    refiner built at :448); reported as ``image_fid_refined`` alongside the
+    raw ``image_fid``.
+    """
     inputs = [jnp.asarray(images), jnp.asarray(masks), jnp.asarray(attrs)]
     observed = [str(i) in given for i in range(3)]
     if given:
@@ -55,6 +63,12 @@ def evaluate_given_set(
         real = compute_features(feature_fn, np.asarray(images), batch_size)
         gen = compute_features(feature_fn, np.asarray(outs[0]), batch_size)
         res["image_fid"] = fid_from_features(real, gen)
+        if refine_fn is not None:
+            key, rkey = jax.random.split(key)
+            refined = refine_fn(rkey, jnp.clip(outs[0], 0.0, 1.0))
+            ref_feats = compute_features(feature_fn, np.asarray(refined),
+                                         batch_size)
+            res["image_fid_refined"] = fid_from_features(real, ref_feats)
     return res
 
 
@@ -68,15 +82,33 @@ def celeba_protocol(
     feature_fn: Optional[Callable] = None,
     att_threshold: float = 0.5,
     batch_size: int = 64,
+    refine_fn: Optional[Callable] = None,
+    n_repeats: int = 1,
 ) -> List[Dict[str, float]]:
+    """The full given-set sweep; ``n_repeats > 1`` regenerates each cell
+    with fresh keys and reports the mean plus ``*_std`` spreads - the
+    reference's FID-variance protocol (fid_n_times, fid_upd10.py:556-587:
+    inputs written once, outputs regenerated per repetition)."""
     results = []
     for given in given_sets:
-        key, sub = jax.random.split(key)
-        results.append(
-            evaluate_given_set(
+        reps = []
+        for _ in range(n_repeats):
+            key, sub = jax.random.split(key)
+            reps.append(evaluate_given_set(
                 pipeline, sub, images, masks, attrs, given,
                 feature_fn=feature_fn, att_threshold=att_threshold,
-                batch_size=batch_size))
+                batch_size=batch_size, refine_fn=refine_fn))
+        if n_repeats == 1:
+            results.append(reps[0])
+            continue
+        agg: Dict[str, float] = {"given": given, "n_repeats": n_repeats}
+        for k in reps[0]:
+            if k == "given":
+                continue
+            vals = [r[k] for r in reps]
+            agg[k] = float(np.mean(vals))
+            agg[f"{k}_std"] = float(np.std(vals))
+        results.append(agg)
     return results
 
 

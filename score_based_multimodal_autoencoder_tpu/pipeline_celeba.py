@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .diffusion.samplers import conditional_sampler, unconditional_sampler
 
@@ -133,6 +134,108 @@ class HeterogeneousPipeline:
 
                 shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key))
+
+
+# Tuned per-given-set-size (er, c) grids from the reference's annealed
+# CelebA eval (eval_lat_celeba_hq_all.py:498-513), keyed by number of
+# observed modalities; values are per-modality (image, mask, attr).
+_ANNEALED_GRIDS = {
+    "vae": {
+        0: ((0.01, 0.01, 0.01), (0.8, 0.8, 0.8)),
+        1: ((0.016, 0.015, 0.015), (0.8, 0.5, 0.5)),
+        2: ((0.018, 0.015, 0.015), (0.8, 0.5, 0.0)),
+    },
+    "ae": {
+        0: ((0.01, 0.01, 0.01), (0.8, 0.8, 0.8)),
+        1: ((0.016, 0.015, 0.015), (0.8, 0.5, 0.5)),
+        2: ((0.02, 0.015, 0.015), (0.8, 0.5, 0.5)),
+    },
+}
+
+
+@dataclass
+class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
+    """CelebA AE/VAE-track generation via sigma-annealed Langevin
+    (/root/reference/eval_lat_celeba_hq_all.py:211-343): sigma grid
+    linspace(5, 0.1, 500), n_comp=2 inner steps (:459-460), per-modality
+    tuned (er, c) by given-set size (:498-513). ``sde`` is unused.
+
+    ``track`` selects the reference's VAE- vs AE-track hyperparameter grid;
+    the stage-1 checkpoints passed in ``modalities`` decide the actual
+    encoders (mean-encoders in both cases).
+    """
+
+    sigma_max: float = 5.0
+    sigma_min: float = 0.1
+    n_levels: int = 500
+    iter_num: int = 2
+    track: str = "vae"
+
+    def _grid(self, n_observed):
+        er, c = _ANNEALED_GRIDS[self.track][min(n_observed, 2)]
+        return jnp.asarray(er), jnp.asarray(c)
+
+    def sample_conditional(self, key, inputs, observed_mask, **overrides):
+        from .diffusion.annealed import annealed_langevin_sampler
+
+        mask = tuple(bool(b) for b in observed_mask)
+        er, c = self._grid(sum(mask))
+        kw = dict(sigma_max=self.sigma_max, sigma_min=self.sigma_min,
+                  n_levels=self.n_levels, iter_num=self.iter_num,
+                  **{k: v for k, v in overrides.items()
+                     if k in ("er", "c", "iter_num", "sigma_max",
+                              "sigma_min", "n_levels")})
+        kw.setdefault("er", er)
+        kw.setdefault("c", c)
+        cache_key = ("ann_cond", mask, self.track, tuple(
+            (k, tuple(np.ravel(v).tolist()) if hasattr(v, "shape")
+             else v) for k, v in sorted(kw.items())))
+        if cache_key not in self._jit_cache:
+            predicted = jnp.array([not m for m in mask])
+
+            @jax.jit
+            def run(key, inputs):
+                def score_fn(x, idx, sig):
+                    return self.score_model.apply(
+                        {"params": self.score_params}, x, idx.astype(x.dtype))
+
+                prior_key, lkey = jax.random.split(key)
+                grid = self.encode_grid(inputs)
+                noise = jax.random.normal(prior_key, grid.shape)
+                grid = jnp.where(predicted, noise, grid)
+                z = annealed_langevin_sampler(lkey, score_fn, grid,
+                                              predicted, **kw)
+                return tuple(self.decode_grid(z))
+
+            self._jit_cache[cache_key] = run
+        return list(self._jit_cache[cache_key](key, tuple(inputs)))
+
+    def sample_unconditional(self, key, amount: int, **overrides):
+        from .diffusion.annealed import annealed_langevin_sampler
+
+        er, c = self._grid(0)
+        kw = dict(er=er, c=c, sigma_max=self.sigma_max,
+                  sigma_min=self.sigma_min, n_levels=self.n_levels,
+                  iter_num=self.iter_num)
+        cache_key = ("ann_uncond", amount, self.track, self.iter_num,
+                     self.n_levels)
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def run(key):
+                def score_fn(x, idx, sig):
+                    return self.score_model.apply(
+                        {"params": self.score_params}, x, idx.astype(x.dtype))
+
+                prior_key, lkey = jax.random.split(key)
+                shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
+                x0 = jax.random.normal(prior_key, shape)
+                z = annealed_langevin_sampler(
+                    lkey, score_fn, x0, jnp.ones((self.n_mod,), bool), **kw)
                 return tuple(self.decode_grid(z))
 
             self._jit_cache[cache_key] = run

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from ..data.loader import BatchIterator, gather_batch_01, to_float01
-from ..diffusion.losses import dsm_loss
+from ..diffusion.losses import dsm_loss, ncsn_dsm_loss
 from ..parallel.fleet import VAEFleet
 from ..utils.logging import MetricsLogger
 from .checkpoints import CheckpointManager
@@ -321,12 +321,18 @@ def train_score_model(
     metrics_path: Optional[str] = None,
     resume: bool = False,
     mesh=None,
+    ncsn_sigmas=None,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training of the latent score network.
 
     - ``mesh``: optional DP mesh - score params/opt/EMA and the frozen
       fleet replicated, pixel batches sharded (n_mod, B->data, ...); the
       DSM gradient all-reduce rides ICI (SURVEY.md §2.8).
+    - ``ncsn_sigmas``: (L,) noise grid switching the objective to discrete
+      multi-sigma NCSN DSM - the AE track's sigma-index-conditioned score
+      net (consumed by gen_ae, /root/reference/fid_upd10.py:85-101; its
+      training script is absent upstream, SURVEY.md §7.3). ``sde`` is then
+      only used for init/sampling hooks.
 
     - ``pixels_val``: full validation split; every epoch the DSM loss is
       computed over ALL of it with a FIXED PRNG key (same t/noise draws each
@@ -377,17 +383,19 @@ def train_score_model(
     opt_state = _replicate(opt_state, rep)
     ema = _replicate(ema, rep) if ema is not None else None
 
+    def _loss(p, latents, key):
+        score = lambda x, t: score_model.apply({"params": p}, x, t)
+        if ncsn_sigmas is not None:
+            return ncsn_dsm_loss(key, score, ncsn_sigmas, latents)
+        return dsm_loss(key, score, sde, latents,
+                        likelihood_weighting=likelihood_weighting,
+                        importance_sampling=importance_sampling)
+
     @jax.jit
     def step(params, opt_state, ema, pixels, key):
         latents = fleet.encode(fleet_state, pixels, latent_hw)
-
-        def loss_fn(p):
-            return dsm_loss(
-                key, lambda x, t: score_model.apply({"params": p}, x, t),
-                sde, latents, likelihood_weighting=likelihood_weighting,
-                importance_sampling=importance_sampling)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(
+            lambda p: _loss(p, latents, key))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema is not None:
@@ -398,10 +406,7 @@ def train_score_model(
     @jax.jit
     def val_step(params, pixels, key):
         latents = fleet.encode(fleet_state, pixels, latent_hw)
-        return dsm_loss(
-            key, lambda x, t: score_model.apply({"params": params}, x, t),
-            sde, latents, likelihood_weighting=likelihood_weighting,
-            importance_sampling=importance_sampling)
+        return _loss(params, latents, key)
 
     pipeline = None
     if sample_every or (eval_every and eval_fn):
@@ -534,6 +539,7 @@ def train_het_score_model(
     sampler_kwargs: Optional[Dict[str, Any]] = None,
     resume: bool = False,
     mesh=None,
+    ncsn_sigmas=None,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training over heterogeneous frozen AEs (the CelebA path,
     /root/reference/train_lat_celebhq_unet_cont2.py:376-561): encode the
@@ -582,17 +588,19 @@ def train_het_score_model(
     opt_state = _replicate(opt_state, rep)
     ema = _replicate(ema, rep) if ema is not None else None
 
+    def _loss(p, grid, key):
+        score = lambda x, t: score_model.apply({"params": p}, x, t)
+        if ncsn_sigmas is not None:
+            return ncsn_dsm_loss(key, score, ncsn_sigmas, grid)
+        return dsm_loss(key, score, sde, grid,
+                        likelihood_weighting=likelihood_weighting,
+                        importance_sampling=importance_sampling)
+
     @jax.jit
     def step(params, opt_state, ema, inputs, key):
         grid = encode(inputs)
-
-        def loss_fn(p):
-            return dsm_loss(
-                key, lambda x, t: score_model.apply({"params": p}, x, t),
-                sde, grid, likelihood_weighting=likelihood_weighting,
-                importance_sampling=importance_sampling)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(
+            lambda p: _loss(p, grid, key))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema is not None:
@@ -602,11 +610,7 @@ def train_het_score_model(
 
     @jax.jit
     def val_step(params, inputs, key):
-        grid = encode(inputs)
-        return dsm_loss(
-            key, lambda x, t: score_model.apply({"params": params}, x, t),
-            sde, grid, likelihood_weighting=likelihood_weighting,
-            importance_sampling=importance_sampling)
+        return _loss(params, encode(inputs), key)
 
     def full_val_loss(params) -> Optional[float]:
         if gather_val is None or not n_val:

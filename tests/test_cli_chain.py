@@ -85,6 +85,43 @@ def test_cli_evaluate_with_baseline(ckpt_root, capsys):
         assert "1" in res[name]["fid"] and np.isfinite(res[name]["fid"]["1"])
 
 
+def test_cli_ae_track_chain(ckpt_root, capsys):
+    """The AE track end to end (VERDICT r2 #5): regularized AEs
+    (train_polyupdAE.py) -> sigma-index NCSN score (--track ae) ->
+    annealed-Langevin generation through the same FID/coherence protocols
+    (gen_ae, fid_upd10.py:56-110)."""
+    import numpy as np
+
+    from score_based_multimodal_autoencoder_tpu.cli.evaluate import (
+        main as eval_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_score import (
+        main as score_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_vae import (
+        main as vae_main,
+    )
+
+    common = ["--synthetic", "--synthetic-n", "64", "--n-mod", "2",
+              "--batch-size", "32"]
+    _run(vae_main, common + ["--vae-type", "ae", "--epochs", "1",
+                             "--ckpt-dir", f"{ckpt_root}/ae"])
+    _run(score_main, common + ["--dim", "16", "--epochs", "1",
+                               "--track", "ae", "--sigma-levels", "20",
+                               "--vae-ckpt", f"{ckpt_root}/ae",
+                               "--ckpt-dir", f"{ckpt_root}/score_ae"])
+    capsys.readouterr()
+    _run(eval_main, ["--dim", "16", "--synthetic", "--n-mod", "2",
+                     "--amount", "8", "--track", "ae",
+                     "--sigma-levels", "20", "--iter-num", "2",
+                     "--vae-ckpt", f"{ckpt_root}/ae",
+                     "--score-ckpt", f"{ckpt_root}/score_ae",
+                     "--predicted", "1"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert "1" in res["fid"] and np.isfinite(res["fid"]["1"])
+
+
 def test_cli_tpu_preset_chain(ckpt_root):
     """--tpu-preset (128-stem + MXU depthwise) trains and samples end to
     end; its checkpoints are read back with the same flag."""

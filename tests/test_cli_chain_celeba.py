@@ -112,6 +112,73 @@ def test_celeba_refiner_and_cond_cli(ckpt_root):
     assert any(any(k.endswith("attr_f1") for k in r) for r in rows)
 
 
+def test_celeba_annealed_track_cli(ckpt_root, capsys):
+    """CelebA annealed-Langevin eval track (eval_lat_celeba_hq_all.py:
+    211-343): sigma-index score net over the stage-1 latents, per-given-set
+    tuned (er, c) grids, same metric table."""
+    from score_based_multimodal_autoencoder_tpu.cli.evaluate_celeba import (
+        main as eval_main,
+    )
+    from score_based_multimodal_autoencoder_tpu.cli.train_score import (
+        main as score_main,
+    )
+
+    assert os.path.isdir(f"{ckpt_root}/celeba_image")  # chain ran first
+    vaes = ["--image-ckpt", f"{ckpt_root}/celeba_image",
+            "--mask-ckpt", f"{ckpt_root}/celeba_mask",
+            "--attr-ckpt", f"{ckpt_root}/celeba_attr"]
+    _run(score_main, SMOKE + vaes + [
+        "--preset", "celebhq", "--dim", "16", "--dim-mults", "1,2",
+        "--track", "ae", "--sigma-levels", "10",
+        "--ckpt-dir", f"{ckpt_root}/score_ann"])
+    capsys.readouterr()
+    _run(eval_main, vaes + [
+        "--synthetic", "--amount", "8", "--size", "16", "--size-z", "16",
+        "--dim", "16", "--dim-mults", "1,2", "--fid", "none",
+        "--track", "annealed-vae", "--sigma-levels", "10", "--iter-num", "1",
+        "--score-ckpt", f"{ckpt_root}/score_ann",
+        "--given-sets", ",1,02", "--out", f"{ckpt_root}/eval_ann.jsonl"])
+    capsys.readouterr()
+    rows = [json.loads(l) for l in open(f"{ckpt_root}/eval_ann.jsonl")]
+    assert len(rows) == 3
+    assert all("attr_f1" in r and "mask_f1" in r for r in rows)
+
+
+def test_celeba_eval_refined_fid_and_repeats(ckpt_root, capsys):
+    """--refiner-ckpt adds the refined image-FID column to the quantitative
+    sweep (eval_lat_celeba_hq_all.py:72-122, refiner at :448) and
+    --fid-n-times regenerates per repeat with mean/std reporting
+    (fid_upd10.py:556-587)."""
+    from score_based_multimodal_autoencoder_tpu.cli.evaluate_celeba import (
+        main as eval_main,
+    )
+
+    assert os.path.isdir(f"{ckpt_root}/refiner")  # refiner test ran first
+    vaes = ["--image-ckpt", f"{ckpt_root}/celeba_image",
+            "--mask-ckpt", f"{ckpt_root}/celeba_mask",
+            "--attr-ckpt", f"{ckpt_root}/celeba_attr"]
+    capsys.readouterr()
+    _run(eval_main, vaes + [
+        "--synthetic", "--amount", "8", "--size", "16", "--size-z", "16",
+        "--dim", "16", "--dim-mults", "1,2", "--sample-n", "5",
+        "--fid", "proxy", "--score-ckpt", f"{ckpt_root}/score",
+        "--refiner-ckpt", f"{ckpt_root}/refiner",
+        "--refiner-channels", "8", "--refiner-mult", "1,2",
+        "--refiner-res-blocks", "1", "--refiner-attn", "",
+        "--refiner-timesteps", "10",
+        "--fid-n-times", "2", "--given-sets", ",1",
+        "--out", f"{ckpt_root}/eval_refined.jsonl"])
+    capsys.readouterr()
+    rows = [json.loads(l) for l in open(f"{ckpt_root}/eval_refined.jsonl")]
+    assert len(rows) == 2
+    for r in rows:
+        # Refined FID computed per cell alongside the raw FID, and the
+        # repeat protocol reports the spread.
+        assert "image_fid" in r and "image_fid_refined" in r
+        assert r["image_fid_refined"] != r["image_fid"]
+        assert r["n_repeats"] == 2 and "image_fid_std" in r
+
+
 def test_celeba_attr_classifier_cli(ckpt_root):
     """ResCLF attribute-classifier training (reconstructed from the FGSM
     call sites, train_lat_celebhq_unet_cont2_cond.py:643-646)."""
