@@ -1,28 +1,35 @@
-"""Benchmark: latent reverse-SDE sampling throughput on the flagship model.
+"""Benchmark: latent reverse-SDE sampling throughput on the flagship models.
 
-Measures unconditional sampling through the PolyMNIST latent score UNet
-(reference config dim=128 / channels=10 / dim_mults (1,2,2,2),
-/root/reference/train_poly_unet_cont.py:567-572) with N=100 Euler-Maruyama
-steps (the reference's PolyMNIST setting).
+Two workloads, both fused whole-trajectory ``lax.scan`` programs:
 
-- OURS: the whole N-step trajectory is ONE fused ``lax.scan`` program
-  (diffusion/samplers.py) running entirely on device. Swept over batch size
-  {256, 1024, 2048} and the TPU tuning knobs (depthwise-7x7 as MXU
-  matmuls, MXU-aligned 128-wide stem, fused Pallas GroupNorm -
-  ScoreConfig.polymnist_tpu); the best samples/s/chip wins.
+- **PolyMNIST flagship** (headline): latent score UNet, reference config
+  dim=128 / channels=10 / dim_mults (1,2,2,2) on 8x8 grids, N=100 EM steps
+  (/root/reference/train_poly_unet_cont.py:567-572). The reported ``value``
+  is the COMPILE-STABLE TPU preset (128-wide stem + MXU depthwise,
+  ScoreConfig.polymnist_tpu) at batch 1024 - the reference-architecture
+  85-lane stem variant is faster on lucky compiles but flips 1461<->2003
+  samples/s between compiles (BASELINE.md), so it is logged, not reported.
+- **CelebA-HQ flagship**: dim=256 / channels=3 / mults (1,2,2,2,2) on 16x16
+  grids, N=1000 EM steps - the reference's costliest loop
+  (/root/reference/train_lat_celebhq_unet_cont2.py:287-307,470-472: 1000
+  Python-dispatched UNet steps per sample batch). Reported as
+  ``celebhq_sps`` / ``celebhq_mfu`` extra fields.
+
 - BASELINE PROXY: the reference's sampler is a host Python loop issuing one
-  dispatch per step (/root/reference/train_poly_unet_cont.py:446-463).
-  Reference hardware (CUDA GPU) is unavailable and the repo publishes no
-  numbers (BASELINE.md), so ``vs_baseline`` anchors at the reference's
-  end-to-end pattern on the SAME chip: per-step dispatch, reference
-  architecture (85-wide stem, conv-emitter depthwise), reference default
-  batch 256. The same-model/batch per-step loop is also logged so the
-  fused-scan-only gain stays visible.
+  dispatch per step. Reference hardware (CUDA GPU) is unavailable and the
+  repo publishes no numbers (BASELINE.md), so ``vs_baseline`` anchors at the
+  reference's end-to-end pattern on the SAME chip: per-step dispatch,
+  reference architecture (85-wide stem, conv-emitter depthwise), reference
+  default batch 256.
 
 Prints one JSON line:
-{"metric", "value", "unit", "vs_baseline", "mfu", "config"}.
+{"metric", "value", "unit", "vs_baseline", "mfu", "config", + celebhq_*}.
 ``mfu`` = model-forward FLOPs (XLA cost analysis) x N steps / wall-clock /
 chip peak; EM-step elementwise FLOPs are excluded, so it is a lower bound.
+
+Every variant is wrapped in its own try/except: the tunneled-TPU compile
+transport can fail on very large programs ("Broken pipe"); the final JSON
+is valid whichever suffix of the sweep survives.
 """
 
 import json
@@ -39,9 +46,6 @@ from score_based_multimodal_autoencoder_tpu.diffusion import (
     unconditional_sampler,
 )
 from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
-
-N_STEPS = 100
-HW, CH = 8, 10
 
 # bf16 peak FLOP/s per chip by device kind (v5e has one TensorCore/chip).
 _PEAK = {
@@ -62,171 +66,191 @@ def peak_flops():
     return 197e12  # assume v5e
 
 
-def build(init_dim, fused, mxu=False):
-    model = LatentUNet(dim=128, channels=CH, dim_mults=(1, 2, 2, 2),
-                       init_dim=init_dim, fused_norms=fused,
-                       mxu_depthwise=mxu, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((2, HW, HW, CH), jnp.float32)
-    t0 = jnp.full((2,), 0.5, jnp.float32)
-    params = model.init(jax.random.key(0), x0, t0)
-    return model, params
+class Workload:
+    """One (model config, grid, N) sampling workload."""
 
+    def __init__(self, name, dim, channels, hw, mults, n_steps,
+                 init_dim=None, mxu=False, pallas_attn=False,
+                 approx_gelu=False):
+        self.name, self.hw, self.channels, self.n_steps = name, hw, channels, n_steps
+        self.model = LatentUNet(dim=dim, channels=channels, dim_mults=mults,
+                                init_dim=init_dim, mxu_depthwise=mxu,
+                                pallas_linear_attn=pallas_attn,
+                                approx_gelu=approx_gelu,
+                                dtype=jnp.bfloat16)
+        x0 = jnp.zeros((2, hw, hw, channels), jnp.float32)
+        t0 = jnp.full((2,), 0.5, jnp.float32)
+        self.params = self.model.init(jax.random.key(0), x0, t0)
+        self.sde = VPSDE(N=n_steps)
 
-def fwd_flops(model, params, batch):
-    """Algorithmic FLOPs of ONE score-model forward at this batch size."""
-    x = jnp.zeros((batch, HW, HW, CH), jnp.float32)
-    t = jnp.full((batch,), 0.5, jnp.float32)
-    try:
-        comp = jax.jit(lambda p, x, t: model.apply(p, x, t)).lower(
-            params, x, t).compile()
-        ca = comp.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception as e:  # pragma: no cover - cost analysis is best-effort
-        log(f"cost_analysis unavailable: {e}")
-        return 0.0
+    def fwd_flops(self, batch):
+        x = jnp.zeros((batch, self.hw, self.hw, self.channels), jnp.float32)
+        t = jnp.full((batch,), 0.5, jnp.float32)
+        try:
+            comp = jax.jit(lambda p, x, t: self.model.apply(p, x, t)).lower(
+                self.params, x, t).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception as e:  # pragma: no cover
+            log(f"cost_analysis unavailable: {e}")
+            return 0.0
 
+    def time_fused(self, batch, reps=3):
+        shape = (batch, self.hw, self.hw, self.channels)
 
-def time_fused(model, params, batch, sde, reps=3):
-    shape = (batch, HW, HW, CH)
+        def score_fn(x, t):
+            return self.model.apply(self.params, x, t)
 
-    def score_fn(x, t):
-        return model.apply(params, x, t)
-
-    n_dev = len(jax.devices())
-    if n_dev > 1 and batch % n_dev == 0:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-        mesh = Mesh(jax.devices(), ("data",))
-        out_sh = NamedSharding(mesh, P("data"))
         sample = jax.jit(
-            lambda key: unconditional_sampler(key, score_fn, sde, shape),
-            out_shardings=out_sh)
-    else:
-        sample = jax.jit(
-            lambda key: unconditional_sampler(key, score_fn, sde, shape))
-
-    sample(jax.random.key(0)).block_until_ready()  # compile
-    times = []
-    for i in range(reps):
+            lambda key: unconditional_sampler(key, score_fn, self.sde, shape))
+        sample(jax.random.key(0)).block_until_ready()  # compile
+        # Enqueue all reps back to back and block once: the tunneled-TPU
+        # dispatch RTT (~100-200 ms, varies with congestion) is paid once
+        # instead of per rep, so the figure reflects device throughput.
         t = time.perf_counter()
-        sample(jax.random.key(i + 1)).block_until_ready()
-        times.append(time.perf_counter() - t)
-    return min(times)
+        outs = [sample(jax.random.key(i + 1)) for i in range(reps)]
+        outs[-1].block_until_ready()
+        return (time.perf_counter() - t) / reps
 
+    def time_python_loop(self, batch, reps=5):
+        """Per-step Python dispatch: the reference's sampling pattern."""
+        shape = (batch, self.hw, self.hw, self.channels)
 
-def time_python_loop(model, params, batch, sde, reps=5):
-    """Per-step Python dispatch: the reference's sampling pattern."""
-    shape = (batch, HW, HW, CH)
+        def score_fn(x, t):
+            return self.model.apply(self.params, x, t)
 
-    def score_fn(x, t):
-        return model.apply(params, x, t)
+        @jax.jit
+        def one_step(key, x, t):
+            return em_predictor_step(key, x, t, score_fn, self.sde)
 
-    @jax.jit
-    def one_step(key, x, t):
-        return em_predictor_step(key, x, t, score_fn, sde)
+        def sample(key):
+            prior_key, key = jax.random.split(key)
+            x = self.sde.prior_sampling(prior_key, shape)
+            timesteps = jnp.linspace(self.sde.T, 1e-3, self.sde.N)
+            x_mean = x
+            for i in range(self.sde.N):
+                key, sub = jax.random.split(key)
+                vec_t = jnp.full((batch,), timesteps[i])
+                x, x_mean = one_step(sub, x, vec_t)
+            return x_mean
 
-    def sample(key):
-        prior_key, key = jax.random.split(key)
-        x = sde.prior_sampling(prior_key, shape)
-        timesteps = jnp.linspace(sde.T, 1e-3, sde.N)
-        x_mean = x
-        for i in range(sde.N):
-            key, sub = jax.random.split(key)
-            vec_t = jnp.full((batch,), timesteps[i])
-            x, x_mean = one_step(sub, x, vec_t)
-        return x_mean
+        sample(jax.random.key(0)).block_until_ready()  # compile
+        times = []
+        for i in range(reps):
+            t = time.perf_counter()
+            sample(jax.random.key(i + 1)).block_until_ready()
+            times.append(time.perf_counter() - t)
+        # Median: per-step dispatch latency over the device link fluctuates.
+        return sorted(times)[len(times) // 2]
 
-    sample(jax.random.key(0)).block_until_ready()  # compile
-    times = []
-    for i in range(reps):
-        t = time.perf_counter()
-        sample(jax.random.key(i + 1)).block_until_ready()
-        times.append(time.perf_counter() - t)
-    # Median: per-step dispatch latency over the device link fluctuates.
-    return sorted(times)[len(times) // 2]
+    def measure(self, batch, peak, label, reps=3):
+        sec = self.time_fused(batch, reps)
+        sps = batch / sec
+        flops = self.fwd_flops(batch)
+        mfu = flops * self.n_steps / sec / peak if flops else 0.0
+        log(f"{label:>18}: {sec:.3f}s/batch -> {sps:8.1f} samples/s "
+            f"(mfu {mfu*100:.1f}%)")
+        return {"sps": sps, "mfu": mfu, "sec": sec}
 
 
 def main():
-    sde = VPSDE(N=N_STEPS)
     peak = peak_flops()
     n_dev = max(1, len(jax.devices()))
     log(f"device: {jax.devices()[0].device_kind} x{n_dev}, "
         f"peak {peak/1e12:.0f} TF/s/chip")
-
-    # (label, init_dim, fused_norms, mxu_depthwise, batch). init_dim None =
-    # reference's dim//3*2 = 85; 128 = the MXU-aligned polymnist_tpu stem.
-    # mxu = depthwise 7x7 as per-channel HWxHW matmuls (identical math).
-    # Wider sweeps (batch 2048, fused Pallas GN with/without the 128 stem)
-    # were measured and lost: XLA already fuses the GN reduces into conv
-    # epilogues, so the pallas_call only breaks fusion here (1248 vs 1988
-    # samples/s at b1024), and batch 2048 plateaus (1921). The kept
-    # variants are the informative ones.
-    # Ordered by importance: TPU-tunnel compiles can take 10-25 min per
-    # program, so the headline variant and the baseline anchor run FIRST
-    # and the remaining sweep points only run while the BENCH_BUDGET_S
-    # soft deadline (default 45 min) has room - the final JSON is valid
-    # whichever suffix gets cut.
-    variants = [
-        ("tpu128-b1024", 128, False, True, 1024),
-        ("ref-b256", None, False, False, 256),
-        ("ref-b1024", None, False, False, 1024),
-        ("mxu-b1024", None, False, True, 1024),
-    ]
     budget = float(os.environ.get("BENCH_BUDGET_S", 2700))
     t_start = time.perf_counter()
 
-    models = {}
-    best = None
-    for vi, (label, init_dim, fused, mxu, batch) in enumerate(variants):
-        if vi >= 2 and time.perf_counter() - t_start > budget:
-            log(f"budget exhausted; skipping {label} and later variants")
-            break
-        mkey = (init_dim, fused, mxu)
-        if mkey not in models:
-            models[mkey] = build(init_dim, fused, mxu)
-        model, params = models[mkey]
-        sec = time_fused(model, params, batch, sde)
-        sps = batch / sec
-        flops = fwd_flops(model, params, batch)
-        mfu = flops * N_STEPS / sec / (peak * n_dev) if flops else 0.0
-        log(f"{label:>14}: {sec:.3f}s/batch -> {sps:8.1f} samples/s "
-            f"(mfu {mfu*100:.1f}%)")
-        cand = {"label": label, "init_dim": init_dim, "fused": fused,
-                "mxu": mxu, "batch": batch, "sps": sps, "mfu": mfu}
-        if best is None or sps > best["sps"]:
-            best = cand
+    def left():
+        return budget - (time.perf_counter() - t_start)
 
-    # Baseline proxy: the reference's sampling pattern end to end - one
-    # host dispatch per EM step (train_poly_unet_cont.py:446-463), the
-    # reference architecture (85-wide stem, plain XLA depthwise), and the
-    # reference's default batch size 256 (fid_upd10.py:632) - on the same
-    # chip.
-    if (None, False, False) not in models:
-        models[(None, False, False)] = build(None, False, False)
-    base_model, base_params = models[(None, False, False)]
-    base_sec = time_python_loop(base_model, base_params, 256, sde)
-    base_sps = 256 / base_sec
-    log(f"python-loop (ref-b256):   med {base_sec:.3f}s/batch -> "
-        f"{base_sps:.1f} samples/s  [reference pattern: vs_baseline anchor]")
-    # Per-step loop at the winning model/batch, so the fused-scan-only gain
-    # is visible in the log (skipped when over budget; informational only).
-    if time.perf_counter() - t_start <= budget:
-        model, params = models[(best["init_dim"], best["fused"], best["mxu"])]
-        same_sec = time_python_loop(model, params, best["batch"], sde)
-        log(f"python-loop ({best['label']}): med {same_sec:.3f}s/batch -> "
-            f"{best['batch'] / same_sec:.1f} samples/s  "
-            f"[same-model/batch loop]")
-
-    print(json.dumps({
+    result = {
         "metric": "latent_sde_sampling_throughput",
-        "value": round(best["sps"] / n_dev, 2),
+        "value": 0.0,
         "unit": "samples/sec/chip",
-        "vs_baseline": round(best["sps"] / base_sps, 3),
-        "mfu": round(best["mfu"], 4),
-        "config": best["label"],
-    }))
+        "vs_baseline": 0.0,
+        "mfu": 0.0,
+        "config": "tpu128-b1024",
+    }
+
+    # 1. Headline: the compile-stable PolyMNIST TPU preset
+    #    (ScoreConfig.polymnist_tpu: 128-wide stem + MXU depthwise), b1024.
+    try:
+        poly_tpu = Workload("poly-tpu", 128, 10, 8, (1, 2, 2, 2), 100,
+                            init_dim=128, mxu=True, approx_gelu=True)
+        m = poly_tpu.measure(1024, peak, "tpu128-b1024", reps=6)
+        result["value"] = round(m["sps"] / n_dev, 2)
+        result["mfu"] = round(m["mfu"], 4)
+    except Exception as e:
+        log(f"headline variant FAILED: {e}")
+        poly_tpu = None
+
+    # 2. Baseline anchor: reference pattern end to end - per-step Python
+    #    dispatch, reference architecture (85-lane stem, conv-emitter
+    #    depthwise), reference batch 256 (fid_upd10.py:632), same chip.
+    try:
+        poly_ref = Workload("poly-ref", 128, 10, 8, (1, 2, 2, 2), 100)
+        base_sec = poly_ref.time_python_loop(256)
+        base_sps = 256 / base_sec
+        log(f"python-loop (ref-b256): med {base_sec:.3f}s/batch -> "
+            f"{base_sps:.1f} samples/s  [reference pattern: vs_baseline anchor]")
+        if result["value"]:
+            result["vs_baseline"] = round(result["value"] * n_dev / base_sps, 3)
+    except Exception as e:
+        log(f"baseline anchor FAILED: {e}")
+
+    # 3. CelebA-HQ flagship: 16x16 grid, dim=256, mults (1,2,2,2,2), N=1000
+    #    (the reference's costliest loop). TPU preset model
+    #    (ScoreConfig.celebhq_tpu: 256 stem + MXU depthwise).
+    if left() > 600:
+        try:
+            cel = Workload("celebhq", 256, 3, 16, (1, 2, 2, 2, 2), 1000,
+                           init_dim=256, mxu=True, approx_gelu=True)
+            m = cel.measure(256, peak, "celebhq-b256", reps=2)
+            result["celebhq_sps"] = round(m["sps"] / n_dev, 2)
+            result["celebhq_mfu"] = round(m["mfu"], 4)
+            # Reference-pattern anchor for the 1000-step chain: per-step
+            # dispatch at the same batch - the loop the reference runs once
+            # per eval batch (train_lat_celebhq_unet_cont2.py:287-307).
+            if left() > 600:
+                ref_sec = cel.time_python_loop(256, reps=2)
+                log(f"python-loop (celebhq-b256): med {ref_sec:.3f}s/batch "
+                    f"-> {256/ref_sec:.1f} samples/s")
+                result["celebhq_vs_ref_pattern"] = round(
+                    ref_sec / m["sec"], 3)
+        except Exception as e:
+            log(f"celebhq variant FAILED: {e}")
+
+    # 4. Informative sweep points while budget allows (logged only).
+    if poly_tpu is not None and left() > 300:
+        try:
+            # Fused Pallas linear attention (ops/linear_attention.py):
+            # targets the ~105 ms/100-step layout copies around the
+            # attention einsums in the round-2 profile (BASELINE.md).
+            poly_pallas = Workload("poly-pallas", 128, 10, 8, (1, 2, 2, 2),
+                                   100, init_dim=128, mxu=True,
+                                   pallas_attn=True, approx_gelu=True)
+            m = poly_pallas.measure(1024, peak, "pallas-attn-b1024", reps=6)
+            result["pallas_attn_sps"] = round(m["sps"] / n_dev, 2)
+        except Exception as e:
+            log(f"sweep pallas-attn FAILED: {e}")
+    if poly_tpu is not None and left() > 300:
+        try:
+            ref_fused = poly_ref.measure(1024, peak, "ref-b1024")
+            del ref_fused
+        except Exception as e:
+            log(f"sweep ref-b1024 FAILED: {e}")
+    if poly_tpu is not None and left() > 300:
+        try:
+            same_sec = poly_tpu.time_python_loop(1024)
+            log(f"python-loop (tpu128-b1024): med {same_sec:.3f}s/batch -> "
+                f"{1024/same_sec:.1f} samples/s  [same-model/batch loop]")
+        except Exception as e:
+            log(f"sweep python-loop FAILED: {e}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
