@@ -160,6 +160,116 @@ def load_torch_unet(state_dict, n_resolutions: int, use_convnext: bool = True):
 
 
 # ---------------------------------------------------------------------------
+# ADM UNet (unet_openai.py UNetModel -> nn/unet_adm.py ADMUNet)
+# ---------------------------------------------------------------------------
+
+def _adm_res_block(sd, prefix):
+    """ADM ResBlock (unet_openai.py:216-306) -> ADMResBlock params."""
+    out = {
+        "in_norm": _norm(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _norm(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _adm_attention(sd, prefix, num_heads):
+    """ADM AttentionBlock (unet_openai.py:308-359) -> ADMAttentionBlock.
+
+    Layout bridge: torch's ``QKVAttention`` reshapes the 3C qkv channels to
+    (B*heads, 3d, T), so its channel order is per-HEAD-interleaved
+    [h0:(q,k,v), h1:(q,k,v), ...]; the flax module splits the last axis into
+    three contiguous thirds [q(all heads), k, v]. The conv1d weights/bias
+    are permuted accordingly (pure relabeling - identical attention).
+    """
+    qw = _np(sd[f"{prefix}.qkv.weight"])[:, :, 0]  # (3C, C)
+    qb = _np(sd[f"{prefix}.qkv.bias"])
+    C = qw.shape[0] // 3
+    d = C // num_heads
+    # flax output index (part, h, j) <- torch channel h*3d + part*d + j.
+    part, h, j = np.meshgrid(np.arange(3), np.arange(num_heads),
+                             np.arange(d), indexing="ij")
+    perm = (h * 3 * d + part * d + j).reshape(-1)
+    pw = _np(sd[f"{prefix}.proj_out.weight"])[:, :, 0]  # (C, C)
+    return {
+        "norm": _norm(sd, f"{prefix}.norm"),
+        "qkv": {"kernel": jnp.asarray(qw[perm].T),
+                "bias": jnp.asarray(qb[perm])},
+        "proj_out": {"kernel": jnp.asarray(pw.T),
+                     "bias": jnp.asarray(_np(sd[f"{prefix}.proj_out.bias"]))},
+    }
+
+
+def load_torch_adm_unet(state_dict, model_channels: int, num_res_blocks: int,
+                        channel_mult, attention_resolutions,
+                        num_heads: int = 1, num_heads_upsample: int = -1):
+    """Reference ``UNetModel``/``SuperResModel.state_dict()``
+    (unet_openai.py:361-593) -> ``ADMUNet`` params dict.
+
+    The structural args must match the torch constructor's; the index
+    bookkeeping below mirrors the reference's ``input_blocks`` /
+    ``output_blocks`` construction loops (unet_openai.py:437-526) exactly.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    heads_up = num_heads if num_heads_upsample == -1 else num_heads_upsample
+    params = {
+        "time_fc1": _dense(sd, "time_embed.0"),
+        "time_fc2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv(sd, "input_blocks.0.0"),
+        "out_norm": _norm(sd, "out.0"),
+        "out_conv": _conv(sd, "out.2"),
+    }
+    if "proj.0.weight" in sd:  # use_z (unet_openai.py:427-433)
+        params["z_fc1"] = _dense(sd, "proj.0")
+        params["z_fc2"] = _dense(sd, "proj.2")
+    if "label_emb.weight" in sd:
+        params["label_emb"] = {
+            "embedding": jnp.asarray(_np(sd["label_emb.weight"]))}
+
+    idx, ds = 0, 1
+    n_levels = len(channel_mult)
+    for level in range(n_levels):
+        for i in range(num_res_blocks):
+            idx += 1
+            params[f"down{level}_{i}_res"] = _adm_res_block(
+                sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"down{level}_{i}_attn"] = _adm_attention(
+                    sd, f"input_blocks.{idx}.1", num_heads)
+        if level != n_levels - 1:
+            idx += 1
+            if f"input_blocks.{idx}.0.op.weight" in sd:  # conv_resample
+                params[f"down{level}_ds"] = _conv(sd, f"input_blocks.{idx}.0.op")
+            ds *= 2
+
+    params["mid_res1"] = _adm_res_block(sd, "middle_block.0")
+    params["mid_attn"] = _adm_attention(sd, "middle_block.1", num_heads)
+    params["mid_res2"] = _adm_res_block(sd, "middle_block.2")
+
+    idx = 0
+    for level in range(n_levels - 1, -1, -1):
+        for i in range(num_res_blocks + 1):
+            params[f"up{level}_{i}_res"] = _adm_res_block(
+                sd, f"output_blocks.{idx}.0")
+            li = 1
+            if ds in attention_resolutions:
+                params[f"up{level}_{i}_attn"] = _adm_attention(
+                    sd, f"output_blocks.{idx}.{li}", heads_up)
+                li += 1
+            if level and i == num_res_blocks:
+                if f"output_blocks.{idx}.{li}.conv.weight" in sd:
+                    params[f"up{level}_us"] = _conv(
+                        sd, f"output_blocks.{idx}.{li}.conv")
+                ds //= 2
+            idx += 1
+    return params
+
+
+# ---------------------------------------------------------------------------
 # ResVAE / ResVAEN (h_vae_model_copy.py) -> models/vae.py ResVAE
 # ---------------------------------------------------------------------------
 

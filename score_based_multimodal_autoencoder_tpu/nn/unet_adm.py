@@ -46,8 +46,10 @@ def _n_groups(channels):
 
 
 def _group_norm(x, name, dtype):
-    return nn.GroupNorm(num_groups=_n_groups(x.shape[-1]), dtype=dtype,
-                        name=name)(x)
+    # eps = 1e-5 matches torch nn.GroupNorm (GroupNorm32, unet_openai.py:10)
+    # rather than the flax default 1e-6, for checkpoint-level parity.
+    return nn.GroupNorm(num_groups=_n_groups(x.shape[-1]), epsilon=1e-5,
+                        dtype=dtype, name=name)(x)
 
 
 class FusedGroupNormSiLU(nn.Module):

@@ -28,6 +28,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from score_based_multimodal_autoencoder_tpu.models.convert import (  # noqa: E402
+    load_torch_adm_unet,
     load_torch_resvae,
     load_torch_unet,
 )
@@ -109,6 +110,89 @@ def test_latent_unet_parity_mxu_depthwise():
                       mxu_depthwise=True)
     params = load_torch_unet(tnet.state_dict(), len(mults))
     got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()))
+    _assert_close(got, want)
+
+
+def test_adm_unet_parity_attention_heads():
+    """ADM UNetModel (unet_openai.py:361-577) == ADMUNet after conversion,
+    with multi-head attention exercising the qkv channel-order bridge
+    (torch per-head-interleaved vs flax part-contiguous)."""
+    import unet_openai as ref
+
+    torch.manual_seed(5)
+    kw = dict(in_channels=3, model_channels=32, out_channels=3,
+              num_res_blocks=1, attention_resolutions=(2,),
+              channel_mult=(1, 2), num_heads=4)
+    tnet = ref.UNetModel(dropout=0.0, **kw).eval()
+    x = torch.randn(2, 3, 8, 8)
+    t = torch.rand(2) * 10
+    with torch.no_grad():
+        want = tnet(x, t)
+
+    from score_based_multimodal_autoencoder_tpu.nn.unet_adm import ADMUNet
+
+    fnet = ADMUNet(**kw)
+    params = load_torch_adm_unet(
+        tnet.state_dict(), kw["model_channels"], kw["num_res_blocks"],
+        kw["channel_mult"], kw["attention_resolutions"], kw["num_heads"])
+    got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()))
+    _assert_close(got, want)
+
+
+def test_adm_unet_parity_cond_z_config():
+    """The shipped z-conditioned CelebA cond-score shape
+    (train_lat_celebhq_unet_cont2_cond.py:651-653: num_res_blocks=2, no
+    attention resolutions, use_z) converts and matches, scaled down."""
+    import unet_openai as ref
+
+    torch.manual_seed(6)
+    kw = dict(in_channels=3, model_channels=32, out_channels=3,
+              num_res_blocks=2, attention_resolutions=(),
+              channel_mult=(1, 2, 4), num_heads=1, use_z=True, z_dim=16)
+    tnet = ref.UNetModel(dropout=0.0, **kw).eval()
+    x = torch.randn(2, 3, 8, 8)
+    t = torch.rand(2) * 10
+    z = torch.randn(2, 16)
+    with torch.no_grad():
+        want = tnet(x, t, z=z)
+
+    from score_based_multimodal_autoencoder_tpu.nn.unet_adm import ADMUNet
+
+    fnet = ADMUNet(**kw)
+    params = load_torch_adm_unet(
+        tnet.state_dict(), kw["model_channels"], kw["num_res_blocks"],
+        kw["channel_mult"], kw["attention_resolutions"], kw["num_heads"])
+    got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()),
+                     z=jnp.asarray(z.numpy()))
+    _assert_close(got, want, atol=3e-4)
+
+
+def test_adm_superres_parity_scale_shift_class():
+    """SuperResModel (unet_openai.py:578-593) with scale-shift norm and
+    class conditioning == ADMSuperResUNet after conversion (same
+    state_dict as UNetModel; low-res concat reproduced)."""
+    import unet_openai as ref
+
+    torch.manual_seed(7)
+    kw = dict(model_channels=32, out_channels=3, num_res_blocks=1,
+              attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+              use_scale_shift_norm=True, num_classes=5)
+    tnet = ref.SuperResModel(in_channels=3, dropout=0.0, **kw).eval()
+    x = torch.randn(2, 3, 8, 8)
+    low = torch.randn(2, 3, 4, 4)
+    t = torch.rand(2) * 10
+    y = torch.tensor([1, 3])
+    with torch.no_grad():
+        want = tnet(x, t, low_res=low, y=y)
+
+    from score_based_multimodal_autoencoder_tpu.nn.unet_adm import ADMSuperResUNet
+
+    fnet = ADMSuperResUNet(in_channels=6, **kw)
+    params = load_torch_adm_unet(
+        tnet.state_dict(), kw["model_channels"], kw["num_res_blocks"],
+        kw["channel_mult"], kw["attention_resolutions"], kw["num_heads"])
+    got = fnet.apply({"params": params}, _nhwc(x), jnp.asarray(t.numpy()),
+                     low_res=_nhwc(low), y=jnp.asarray(y.numpy()))
     _assert_close(got, want)
 
 
