@@ -26,9 +26,18 @@ from .frechet import frechet_distance, gaussian_stats
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted(feature_fn: Callable):
+def _jitted(feature_fn: Callable, n_shards: int):
     # jit's own cache is keyed by function identity; hoisting here keeps
     # repeated protocol calls with the same extractor from retracing.
+    # n_shards > 1 shards the image batch over a 1-D device mesh (DP over
+    # ICI for FID feature extraction, SURVEY.md §2.8): XLA partitions the
+    # inception/extractor forward per chip, features gather back.
+    if n_shards > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        return jax.jit(feature_fn, in_shardings=sh, out_shardings=sh)
     return jax.jit(feature_fn)
 
 
@@ -36,11 +45,13 @@ def compute_features(feature_fn: Callable, images, batch_size: int = 256) -> np.
     """Map images (N, H, W, C) float [0,1] -> features (N, D) on device.
 
     The tail partial batch is padded to full size (static shapes, one
-    compiled program) and trimmed after.
+    compiled program) and trimmed after. With multiple visible devices the
+    batch is sharded over all of them (pure data parallel).
     """
     n = images.shape[0]
     feats = []
-    fn = _jitted(feature_fn)
+    n_dev = len(jax.devices())
+    fn = _jitted(feature_fn, n_dev if batch_size % n_dev == 0 else 1)
     for i in range(0, n, batch_size):
         chunk = images[i : i + batch_size]
         pad = batch_size - chunk.shape[0]

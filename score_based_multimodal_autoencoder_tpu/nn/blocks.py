@@ -120,8 +120,6 @@ class DepthwiseConvMXU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import numpy as np
-
         B, H, W, C = x.shape
         K = self.kernel_size
         pad = K // 2
@@ -136,22 +134,27 @@ class DepthwiseConvMXU(nn.Module):
                 feature_group_count=C)
             return y + bias.astype(self.dtype)
         N = H * W
-        # Static (N*N, K*K) one-hot tap matrix: row (q*N + p) selects kernel
-        # tap (qy-py+pad, qx-px+pad) when that offset is in range. The band
-        # is then a MATMUL of the tap matrix with the flat kernel - so its
-        # VJP is another matmul (a gather-based construction would
-        # backpropagate through a TPU-hostile scatter in training).
-        py, px = np.divmod(np.arange(N), W)
-        # band[q, p] holds kernel[qy-py+pad, qx-px+pad]: axis 0 = input
-        # position q, axis 1 = output position p.
+        # (N*N, K*K) one-hot tap matrix: row (q*N + p) selects kernel tap
+        # (qy-py+pad, qx-px+pad) when that offset is in range. The band is
+        # then a MATMUL of the tap matrix with the flat kernel - so its VJP
+        # is another matmul (a gather-based construction would backpropagate
+        # through a TPU-hostile scatter in training). Built from on-device
+        # iota ops - NOT a trace-time numpy literal: at 16x16 the literal is
+        # ~13 MB per block, which bloats the serialized HLO enough to break
+        # the remote-compile transport; XLA constant-folds the iota form to
+        # the same matrix server-side.
+        q = jnp.arange(N)
+        py, px = q // W, q % W
         dy = py[:, None] - py[None, :] + pad
         dx = px[:, None] - px[None, :] + pad
         valid = (0 <= dy) & (dy < K) & (0 <= dx) & (dx < K)
-        taps = np.where(valid, dy * K + dx, 0)
-        onehot = np.zeros((N * N, K * K), np.float32)
-        onehot[np.arange(N * N), taps.reshape(-1)] = valid.reshape(-1)
+        taps = jnp.where(valid, dy * K + dx, 0)  # (N, N)
+        onehot = ((taps[:, :, None] == jnp.arange(K * K)[None, None, :])
+                  & valid[:, :, None]).astype(self.dtype)  # (N, N, K*K)
         kf = kernel.reshape(K * K, C).astype(self.dtype)
-        band = (jnp.asarray(onehot, self.dtype) @ kf).reshape(N, N, C)
+        # band[q, p] holds kernel[qy-py+pad, qx-px+pad]: axis 0 = input
+        # position q, axis 1 = output position p.
+        band = jnp.einsum("qpt,tc->qpc", onehot, kf)
         y = jnp.einsum("bqc,qpc->bpc", x.reshape(B, N, C).astype(self.dtype),
                        band)
         return y.reshape(B, H, W, C) + bias.astype(self.dtype)

@@ -65,6 +65,25 @@ def test_compute_features_padding_tail():
     np.testing.assert_allclose(f[-1], np.asarray(imgs[-1]).ravel()[:4])
 
 
+def test_compute_features_sharded_equals_unsharded():
+    """DP over the device mesh for FID feature extraction (SURVEY.md §2.8):
+    a batch size divisible by the 8 virtual devices shards automatically and
+    must give bit-identical features to the unsharded path (batch size
+    coprime with the device count)."""
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    def feature_fn(x):
+        return jnp.stack([x.mean(axis=(1, 2, 3)), x.max(axis=(1, 2, 3))],
+                         axis=-1)
+
+    imgs = jnp.linspace(0.0, 1.0, 20 * 2 * 2 * 3).reshape(20, 2, 2, 3)
+    sharded = compute_features(feature_fn, imgs, batch_size=8)
+    unsharded = compute_features(feature_fn, imgs, batch_size=7)
+    np.testing.assert_allclose(sharded, unsharded, rtol=0, atol=0)
+
+
 def test_samples_f1_matches_sklearn():
     sklearn = pytest.importorskip("sklearn.metrics")
     rng = np.random.default_rng(2)

@@ -196,6 +196,61 @@ def test_adm_superres_parity_scale_shift_class():
     _assert_close(got, want)
 
 
+def test_convert_cli_reference_checkpoints(tmp_path):
+    """cli.convert turns torch.save'd reference checkpoints into framework
+    orbax checkpoints the pipeline runs directly: a latent score UNet plus a
+    2-modality ResVAE fleet, chained through SBMAEPipeline generation."""
+    import h_vae_model_copy as href
+    import unet_model
+
+    torch.manual_seed(8)
+    tnet = unet_model.Unet(dim=12, channels=2, dim_mults=(1, 2)).eval()
+    torch.save({"model_state_dict": tnet.state_dict(),
+                "epoch": 7}, tmp_path / "score.pt")
+    enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
+    dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
+    for i in range(2):
+        tvae = href.ResVAE(enc, dec, size_in=32, size_z=64, img_ch=3).eval()
+        torch.save({"model_state_dict": tvae.state_dict()},
+                   tmp_path / f"m{i}.pt")
+
+    from score_based_multimodal_autoencoder_tpu.cli import convert
+
+    convert.main(["--arch", "unet", "--torch-ckpt", str(tmp_path / "score.pt"),
+                  "--out", str(tmp_path / "score"), "--dim", "12",
+                  "--channels", "2", "--dim-mults", "1,2"])
+    convert.main(["--arch", "resvae", "--preset", "polymnist",
+                  "--torch-ckpt", str(tmp_path / "m0.pt"),
+                  "--torch-ckpt", str(tmp_path / "m1.pt"),
+                  "--out", str(tmp_path / "vae")])
+
+    from score_based_multimodal_autoencoder_tpu.diffusion import VPSDE
+    from score_based_multimodal_autoencoder_tpu.models.vae import polymnist_vae
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+    from score_based_multimodal_autoencoder_tpu.parallel.fleet import VAEFleet
+    from score_based_multimodal_autoencoder_tpu.pipeline import SBMAEPipeline
+    from score_based_multimodal_autoencoder_tpu.train.checkpoints import (
+        CheckpointManager,
+    )
+    from score_based_multimodal_autoencoder_tpu.train.lr import (
+        adam_with_mutable_lr,
+    )
+
+    score = CheckpointManager(str(tmp_path / "score")).restore_raw("last")
+    assert int(score["epoch"]) == 0
+    fleet_state = CheckpointManager(str(tmp_path / "vae")).restore_raw("last")
+    assert fleet_state["params"]["enc"]["stem_conv"]["kernel"].shape[0] == 2
+
+    fleet = VAEFleet(polymnist_vae(64), 2, adam_with_mutable_lr(1e-3))
+    pipe = SBMAEPipeline(
+        fleet=fleet, fleet_state=fleet_state,
+        score_model=LatentUNet(dim=12, channels=2, dim_mults=(1, 2)),
+        score_params=score["params"], sde=VPSDE(N=4), latent_hw=8)
+    out = pipe.sample_unconditional(jax.random.key(0), amount=2)
+    assert out.shape == (2, 2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_resvae_poly_parity():
     """Reference ResVAE (h_vae_model_copy.py:91-137) at the shipped
     PolyMNIST config == models.vae.ResVAE('poly') after conversion:
