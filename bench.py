@@ -249,6 +249,22 @@ def main():
                 f"{1024/same_sec:.1f} samples/s  [same-model/batch loop]")
         except Exception as e:
             log(f"sweep python-loop FAILED: {e}")
+    if poly_tpu is not None and left() > 300:
+        # Small-batch/interactive sampling: the axis where the fused scan
+        # must dominate regardless of batch - per-step dispatch cannot
+        # amortize at B=16 (100 host round-trips per 16 samples). The
+        # dispatch RTT here includes the tunneled link; on a local host the
+        # gap shrinks but the 100x dispatch-count ratio is architectural.
+        try:
+            b = 16
+            fused_sec = poly_tpu.time_fused(b, reps=10)
+            loop_sec = poly_tpu.time_python_loop(b, reps=3)
+            log(f"interactive b{b}: fused {fused_sec*1e3:.0f} ms vs "
+                f"per-step loop {loop_sec*1e3:.0f} ms "
+                f"({loop_sec/fused_sec:.1f}x)")
+            result["interactive_b16_speedup"] = round(loop_sec / fused_sec, 2)
+        except Exception as e:
+            log(f"sweep interactive FAILED: {e}")
 
     print(json.dumps(result))
 

@@ -300,7 +300,11 @@ class LinearAttention(nn.Module):
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        if self.pallas_attn:
+        # Kernel only where there are enough spatial positions to fill VPU
+        # sublanes: at the deep levels (N <= 16, down to 1x1 grids) a
+        # pallas_call is pure per-program overhead and breaks XLA's fusion
+        # of the tiny ops, which measured 4x slower whole-model.
+        if self.pallas_attn and H * W >= 64:
             from ..ops.linear_attention import fused_linear_attention
 
             interpret = jax.default_backend() != "tpu"
