@@ -139,8 +139,11 @@ def main():
             args.refiner_ckpt).restore_raw("last")["params"]
         schedule = DDPMSchedule(timesteps=args.refiner_timesteps)
 
-        def refine_fn(key, images01):
-            cond = 2.0 * jnp.asarray(images01) - 1.0
+        # Refiner params ride as a jit argument (a closure would bake the
+        # ADM UNet weights into the HLO; see pipeline_celeba note).
+        @jax.jit
+        def _refine(key, images01, refiner_params):
+            cond = 2.0 * images01 - 1.0
 
             def denoise_fn(x_and_cond, t):
                 return refiner.apply({"params": refiner_params}, x_and_cond, t)
@@ -148,6 +151,9 @@ def main():
             out = ddpm_refiner_sample(key, denoise_fn, schedule, cond,
                                       cond.shape)
             return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+        def refine_fn(key, images01):
+            return _refine(key, jnp.asarray(images01), refiner_params)
 
     models = {}
     if args.score_ckpt:

@@ -48,19 +48,22 @@ class BaselineSampler:
         cache_key = ("uncond", amount)
         if cache_key not in self._jit_cache:
 
+            # Variables are a jit ARGUMENT (not closed over): closure trees
+            # are baked into the HLO as constants, bloating compiles
+            # (see pipeline_celeba parameter-plumbing note).
             @jax.jit
-            def run(key):
+            def run(key, variables):
                 if self.mix_type == "mmplus":
-                    outs = self.model.apply(self.variables, key, amount,
+                    outs = self.model.apply(variables, key, amount,
                                             method=self.model.generate)
                 else:
-                    outs = self.model.apply(self.variables, key, amount,
+                    outs = self.model.apply(variables, key, amount,
                                             method=self.model.sample)
                 return jnp.clip(jnp.stack(list(outs)) if isinstance(
                     outs, (tuple, list)) else outs, 0.0, 1.0)
 
             self._jit_cache[cache_key] = run
-        return self._jit_cache[cache_key](key)
+        return self._jit_cache[cache_key](key, self.variables)
 
     def sample_conditional(self, key, pixels, predicted_mods: Sequence[int],
                            score_transform=None, **_):
@@ -71,16 +74,16 @@ class BaselineSampler:
         if cache_key not in self._jit_cache:
 
             @jax.jit
-            def run(key, pixels):
+            def run(key, pixels, variables):
                 if self.mix_type == "mmplus":
                     present_idx = jnp.array(
                         [i for i in range(self.n_mod) if i not in pred])
                     outs = self.model.apply(
-                        self.variables, pixels, present_idx, key,
+                        variables, pixels, present_idx, key,
                         method=self.model.cond_gen)
                 else:
                     outs = self.model.apply(
-                        self.variables, pixels, present, key, self.mix_type,
+                        variables, pixels, present, key, self.mix_type,
                         method=self.model.cond_gen)
                 outs = jnp.stack(list(outs)) if isinstance(
                     outs, (tuple, list)) else outs
@@ -89,7 +92,7 @@ class BaselineSampler:
                 return jnp.where(keep, pixels, outs)
 
             self._jit_cache[cache_key] = run
-        return self._jit_cache[cache_key](key, pixels)
+        return self._jit_cache[cache_key](key, pixels, self.variables)
 
 
 def _clip_pixels(outs):
@@ -124,17 +127,17 @@ class HetBaselineSampler:
         if cache_key not in self._jit_cache:
 
             @jax.jit
-            def run(key):
+            def run(key, variables):
                 if self.mix_type == "mmplus":
-                    outs = self.model.apply(self.variables, key, amount,
+                    outs = self.model.apply(variables, key, amount,
                                             method=self.model.generate)
                 else:
-                    outs = self.model.apply(self.variables, key, amount,
+                    outs = self.model.apply(variables, key, amount,
                                             method=self.model.sample)
                 return _clip_pixels(outs)
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key))
+        return list(self._jit_cache[cache_key](key, self.variables))
 
     def sample_conditional(self, key, inputs, observed_mask, **_):
         mask = tuple(bool(b) for b in observed_mask)
@@ -143,18 +146,19 @@ class HetBaselineSampler:
             present = jnp.array(mask)
 
             @jax.jit
-            def run(key, inputs):
+            def run(key, inputs, variables):
                 if self.mix_type == "mmplus":
                     present_idx = jnp.array(
                         [i for i, m in enumerate(mask) if m])
                     outs = self.model.apply(
-                        self.variables, inputs, present_idx, key,
+                        variables, inputs, present_idx, key,
                         method=self.model.cond_gen)
                 else:
                     outs = self.model.apply(
-                        self.variables, inputs, present, key, self.mix_type,
+                        variables, inputs, present, key, self.mix_type,
                         method=self.model.cond_gen)
                 return _clip_pixels(outs)
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key, tuple(inputs)))
+        return list(self._jit_cache[cache_key](
+            key, tuple(inputs), self.variables))

@@ -25,6 +25,26 @@ import numpy as np
 from .frechet import frechet_distance, gaussian_stats
 
 
+class ParamFeatureFn:
+    """A feature extractor split into ``apply_fn(params, images)`` + params.
+
+    Keeping the two separate lets :func:`compute_features` jit with the
+    parameters as ARGUMENTS; a plain closure would bake them into the HLO
+    as constants (the InceptionV3 port is ~24M params -> ~95 MB of
+    serialized program, which multiplies compile time - see the
+    pipeline_celeba parameter-plumbing note). Instances are also plain
+    callables, so code that invokes ``feature_fn(images)`` eagerly works
+    unchanged.
+    """
+
+    def __init__(self, apply_fn: Callable, params):
+        self.apply_fn = apply_fn
+        self.params = params
+
+    def __call__(self, images):
+        return self.apply_fn(self.params, images)
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted(feature_fn: Callable, n_shards: int):
     # jit's own cache is keyed by function identity; hoisting here keeps
@@ -32,12 +52,21 @@ def _jitted(feature_fn: Callable, n_shards: int):
     # n_shards > 1 shards the image batch over a 1-D device mesh (DP over
     # ICI for FID feature extraction, SURVEY.md §2.8): XLA partitions the
     # inception/extractor forward per chip, features gather back.
+    split = isinstance(feature_fn, ParamFeatureFn)
     if n_shards > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("data",))
         sh = NamedSharding(mesh, P("data"))
+        if split:
+            rep = NamedSharding(mesh, P())
+            jfn = jax.jit(feature_fn.apply_fn, in_shardings=(rep, sh),
+                          out_shardings=sh)
+            return lambda images: jfn(feature_fn.params, images)
         return jax.jit(feature_fn, in_shardings=sh, out_shardings=sh)
+    if split:
+        jfn = jax.jit(feature_fn.apply_fn)
+        return lambda images: jfn(feature_fn.params, images)
     return jax.jit(feature_fn)
 
 

@@ -284,7 +284,9 @@ def make_inception_feature_fn(weights_path: Optional[str] = None,
         print("[fid] WARNING: no Inception weights file; using random "
               "features (relative comparisons only)", file=sys.stderr)
 
-    def feature_fn(images):
-        return model.apply(variables, images)
+    from .fid import ParamFeatureFn
 
-    return feature_fn
+    # Split params-vs-apply so eval.fid jits with the weights as arguments
+    # (closures bake ~95 MB of Inception weights into the HLO as constants).
+    return ParamFeatureFn(
+        lambda variables, images: model.apply(variables, images), variables)

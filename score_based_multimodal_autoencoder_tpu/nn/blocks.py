@@ -219,6 +219,11 @@ class ConvNeXtBlock(nn.Module):
     # Run the depthwise 7x7 as a per-channel HWxHW matmul on the MXU for
     # small grids (identical math + param tree; see DepthwiseConvMXU).
     mxu_depthwise: bool = False
+    # Position cutoff for the MXU path: grids with H*W above this fall back
+    # to the conv emitter. 64 excludes the one measured losing shape
+    # (16x16 x 256ch at batch 256, 0.8x - BASELINE.md) while keeping the
+    # 8x8-and-below wins; 256 enables it everywhere the band fits.
+    mxu_max_positions: int = 256
     # tanh-approximated GELU: ~1.3x faster whole-model sampling on TPU
     # (erf's polynomial dominates the VPU at these widths). Default False
     # = exact erf, matching torch nn.GELU for checkpoint-level parity;
@@ -229,6 +234,7 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x, time_emb=None):
         if self.mxu_depthwise:
             h = DepthwiseConvMXU(self.dim, 7, dtype=self.dtype,
+                                 max_positions=self.mxu_max_positions,
                                  name="ds_conv")(x)
         else:
             h = nn.Conv(

@@ -88,6 +88,9 @@ class LatentUNet(nn.Module):
     # Run ConvNeXt depthwise 7x7 convs as per-channel HWxHW matmuls on the
     # MXU (identical math + param tree; nn/blocks.py DepthwiseConvMXU).
     mxu_depthwise: bool = False
+    # Position cutoff for the MXU depthwise path (levels with H*W above it
+    # use the conv emitter). 64 = hybrid: conv at 16x16, MXU at <=8x8.
+    mxu_max_positions: int = 256
     # Route linear attention through the fused Pallas kernel
     # (ops/linear_attention.py). Forward-only: sampling-time knob.
     pallas_linear_attn: bool = False
@@ -105,6 +108,7 @@ class LatentUNet(nn.Module):
                 dim=dim_in, dim_out=dim_out, mult=self.convnext_mult,
                 dtype=self.dtype, fused_norms=self.fused_norms,
                 mxu_depthwise=self.mxu_depthwise,
+                mxu_max_positions=self.mxu_max_positions,
                 approx_gelu=self.approx_gelu, name=name,
             )
         return ResnetBlock(

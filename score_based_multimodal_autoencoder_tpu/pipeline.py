@@ -36,6 +36,16 @@ class SBMAEPipeline:
     latent_hw: int
     sampler_kwargs: Dict[str, Any] = field(default_factory=dict)
     mesh: Any = None  # optional jax.sharding.Mesh: DP-shard generation
+    # Close over the (frozen) fleet/score params instead of passing them as
+    # jit arguments: XLA folds the weight layouts at compile time, a
+    # measured ~10% sampling-throughput win for the PolyMNIST flagship
+    # (0.494 vs 0.544 s/batch at b1024, TPU v5e). The trade: the params are
+    # embedded in the HLO as constants, so the serialized program grows by
+    # the param bytes and compiles are slower - keep False for very large
+    # models (the celebhq-size tree overwhelms remote-compile transports)
+    # or when params change between calls (baked programs never see
+    # updates).
+    bake_params: bool = False
 
     def __post_init__(self):
         self._jit_cache: Dict[Tuple, Any] = {}
@@ -86,7 +96,12 @@ class SBMAEPipeline:
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return jnp.clip(self.fleet.decode(fleet_state, z), 0.0, 1.0)
 
-            self._jit_cache[cache_key] = self._jit(run)
+            if self.bake_params:
+                fs, sp = self.fleet_state, self.score_params
+                baked = self._jit(lambda key: run(key, fs, sp))
+                self._jit_cache[cache_key] = lambda key, _fs, _sp: baked(key)
+            else:
+                self._jit_cache[cache_key] = self._jit(run)
         return self._jit_cache[cache_key](key, self.fleet_state, self.score_params)
 
     def sample_conditional(
@@ -125,7 +140,14 @@ class SBMAEPipeline:
                 keep = observed_mask.reshape(-1, 1, 1, 1, 1)
                 return jnp.where(keep, pixels, out)
 
-            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(3,))
+            if self.bake_params:
+                fs, sp = self.fleet_state, self.score_params
+                baked = self._jit(lambda key, pixels: run(key, fs, sp, pixels),
+                                  batch_arg_idx=(1,))
+                self._jit_cache[cache_key] = (
+                    lambda key, _fs, _sp, pixels: baked(key, pixels))
+            else:
+                self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(3,))
         return self._jit_cache[cache_key](
             key, self.fleet_state, self.score_params, pixels)
 

@@ -60,20 +60,37 @@ class HeterogeneousPipeline:
     def n_mod(self):
         return len(self.modalities)
 
-    def encode_grid(self, inputs: Sequence):
-        """Per-modality inputs -> (B, hw, hw, n_mod) latent grid."""
+    # Parameter plumbing rule: every jitted program below takes the score
+    # params and the per-modality VAE variables as ARGUMENTS. Closing over
+    # them would bake the trees into the HLO as constants - at the celebhq
+    # flagship's size that is hundreds of MB of serialized program, which
+    # multiplies TPU compile time and overwhelms a tunneled remote-compile
+    # transport (round-3 finding; as arguments the same HLO is <1 MB).
+    @property
+    def _mod_vars(self):
+        return tuple(m.variables for m in self.modalities)
+
+    def _encode_grid(self, variables, inputs: Sequence):
         chans = []
-        for mod, x in zip(self.modalities, inputs):
-            z = mod.encode(x)
-            chans.append(z.reshape(z.shape[0], self.latent_hw, self.latent_hw))
+        for mod, v, x in zip(self.modalities, variables, inputs):
+            mu, _ = mod.model.apply(v, x, method=mod.model.encoder)
+            chans.append(mu.reshape(mu.shape[0], self.latent_hw, self.latent_hw))
         return jnp.stack(chans, axis=-1)
 
-    def decode_grid(self, grid):
+    def _decode_grid(self, variables, grid):
         B = grid.shape[0]
         return [
-            mod.decode(grid[..., i].reshape(B, -1))
-            for i, mod in enumerate(self.modalities)
+            mod.model.apply(v, grid[..., i].reshape(B, -1),
+                            method=mod.model.decoder)
+            for i, (mod, v) in enumerate(zip(self.modalities, variables))
         ]
+
+    def encode_grid(self, inputs: Sequence):
+        """Per-modality inputs -> (B, hw, hw, n_mod) latent grid."""
+        return self._encode_grid(self._mod_vars, inputs)
+
+    def decode_grid(self, grid):
+        return self._decode_grid(self._mod_vars, grid)
 
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
         """Channel-clamped conditional generation over heterogeneous
@@ -90,19 +107,20 @@ class HeterogeneousPipeline:
             mask_arr = jnp.array(mask)
 
             @jax.jit
-            def run(key, inputs):
-                grid = self.encode_grid(inputs)
+            def run(key, inputs, score_params, mod_vars):
+                grid = self._encode_grid(mod_vars, inputs)
 
                 def score_fn(x, t):
                     return self.score_model.apply(
-                        {"params": self.score_params}, x, t)
+                        {"params": score_params}, x, t)
 
                 z = conditional_sampler(
                     key, score_fn, self.sde, grid, mask_arr, **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key, tuple(inputs)))
+        return list(self._jit_cache[cache_key](
+            key, tuple(inputs), self.score_params, self._mod_vars))
 
     def refine_images(self, key, images, refiner_model, refiner_params,
                       schedule):
@@ -112,14 +130,24 @@ class HeterogeneousPipeline:
         [-1,1]-rescaled VAE output, return refined images in [0, 1]."""
         from .diffusion.ddpm import ddpm_refiner_sample
 
-        cond = 2.0 * jnp.asarray(images) - 1.0
+        images = jnp.asarray(images)
+        cache_key = ("refine", id(refiner_model), id(schedule), images.shape)
+        if cache_key not in self._jit_cache:
 
-        def denoise_fn(x_and_cond, t):
-            return refiner_model.apply({"params": refiner_params},
-                                       x_and_cond, t)
+            @jax.jit
+            def run(key, images, refiner_params):
+                cond = 2.0 * images - 1.0
 
-        out = ddpm_refiner_sample(key, denoise_fn, schedule, cond, cond.shape)
-        return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+                def denoise_fn(x_and_cond, t):
+                    return refiner_model.apply({"params": refiner_params},
+                                               x_and_cond, t)
+
+                out = ddpm_refiner_sample(key, denoise_fn, schedule, cond,
+                                          cond.shape)
+                return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+            self._jit_cache[cache_key] = run
+        return self._jit_cache[cache_key](key, images, refiner_params)
 
     def sample_unconditional(self, key, amount: int, **overrides):
         kw = _drop_cond_only(self.sampler_kwargs, overrides)
@@ -127,17 +155,18 @@ class HeterogeneousPipeline:
         if cache_key not in self._jit_cache:
 
             @jax.jit
-            def run(key):
+            def run(key, score_params, mod_vars):
                 def score_fn(x, t):
                     return self.score_model.apply(
-                        {"params": self.score_params}, x, t)
+                        {"params": score_params}, x, t)
 
                 shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key))
+        return list(self._jit_cache[cache_key](
+            key, self.score_params, self._mod_vars))
 
 
 # Tuned per-given-set-size (er, c) grids from the reference's annealed
@@ -198,21 +227,22 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
             predicted = jnp.array([not m for m in mask])
 
             @jax.jit
-            def run(key, inputs):
+            def run(key, inputs, score_params, mod_vars):
                 def score_fn(x, idx, sig):
                     return self.score_model.apply(
-                        {"params": self.score_params}, x, idx.astype(x.dtype))
+                        {"params": score_params}, x, idx.astype(x.dtype))
 
                 prior_key, lkey = jax.random.split(key)
-                grid = self.encode_grid(inputs)
+                grid = self._encode_grid(mod_vars, inputs)
                 noise = jax.random.normal(prior_key, grid.shape)
                 grid = jnp.where(predicted, noise, grid)
                 z = annealed_langevin_sampler(lkey, score_fn, grid,
                                               predicted, **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key, tuple(inputs)))
+        return list(self._jit_cache[cache_key](
+            key, tuple(inputs), self.score_params, self._mod_vars))
 
     def sample_unconditional(self, key, amount: int, **overrides):
         from .diffusion.annealed import annealed_langevin_sampler
@@ -226,20 +256,21 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
         if cache_key not in self._jit_cache:
 
             @jax.jit
-            def run(key):
+            def run(key, score_params, mod_vars):
                 def score_fn(x, idx, sig):
                     return self.score_model.apply(
-                        {"params": self.score_params}, x, idx.astype(x.dtype))
+                        {"params": score_params}, x, idx.astype(x.dtype))
 
                 prior_key, lkey = jax.random.split(key)
                 shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
                 x0 = jax.random.normal(prior_key, shape)
                 z = annealed_langevin_sampler(
                     lkey, score_fn, x0, jnp.ones((self.n_mod,), bool), **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key))
+        return list(self._jit_cache[cache_key](
+            key, self.score_params, self._mod_vars))
 
 
 @dataclass
@@ -253,12 +284,12 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
     rep_models: Sequence = ()
     rep_variables: Sequence = ()
 
-    def _z_cond(self, inputs, observed_mask):
+    def _z_cond(self, rep_vars, inputs, observed_mask):
         from .nn.contrastive import average_condition
 
         reps = jnp.stack([
             m.apply(v, x)
-            for m, v, x in zip(self.rep_models, self.rep_variables, inputs)])
+            for m, v, x in zip(self.rep_models, rep_vars, inputs)])
         return average_condition(reps, jnp.asarray(observed_mask))
 
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
@@ -269,9 +300,9 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
             mask_arr = jnp.array(mask)
 
             @jax.jit
-            def run(key, inputs, score_params):
-                grid = self.encode_grid(inputs)
-                z_cond = self._z_cond(inputs, mask_arr)
+            def run(key, inputs, score_params, mod_vars, rep_vars):
+                grid = self._encode_grid(mod_vars, inputs)
+                z_cond = self._z_cond(rep_vars, inputs, mask_arr)
 
                 def score_fn(x, t):
                     return self.score_model.apply(
@@ -279,11 +310,12 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
 
                 z = conditional_sampler(
                     key, score_fn, self.sde, grid, mask_arr, **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key, tuple(inputs),
-                                               self.score_params))
+        return list(self._jit_cache[cache_key](
+            key, tuple(inputs), self.score_params, self._mod_vars,
+            tuple(self.rep_variables)))
 
     def sample_unconditional(self, key, amount: int, **overrides):
         kw = _drop_cond_only(self.sampler_kwargs, overrides)
@@ -291,7 +323,7 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
         if cache_key not in self._jit_cache:
 
             @jax.jit
-            def run(key, score_params):
+            def run(key, score_params, mod_vars):
                 z_dim = self.score_model.z_dim or 512
                 z_cond = jnp.zeros((amount, z_dim))
 
@@ -301,7 +333,8 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
 
                 shape = (amount, self.latent_hw, self.latent_hw, self.n_mod)
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
-                return tuple(self.decode_grid(z))
+                return tuple(self._decode_grid(mod_vars, z))
 
             self._jit_cache[cache_key] = run
-        return list(self._jit_cache[cache_key](key, self.score_params))
+        return list(self._jit_cache[cache_key](
+            key, self.score_params, self._mod_vars))

@@ -95,6 +95,9 @@ class ScoreConfig:
     init_dim: Optional[int] = None
     fused_norms: bool = False
     mxu_depthwise: bool = False
+    # MXU-depthwise position cutoff: levels with H*W above it use the conv
+    # emitter (64 = hybrid for 16x16 flagships; see nn/blocks.py).
+    mxu_max_positions: int = 256
     # tanh-approx GELU (vs torch-exact erf): ~1.3x faster sampling on TPU.
     approx_gelu: bool = False
 
@@ -153,6 +156,7 @@ class ScoreConfig:
                           init_dim=self.init_dim,
                           fused_norms=self.fused_norms,
                           mxu_depthwise=self.mxu_depthwise,
+                          mxu_max_positions=self.mxu_max_positions,
                           approx_gelu=self.approx_gelu,
                           dtype=dtype or jnp.float32)
 

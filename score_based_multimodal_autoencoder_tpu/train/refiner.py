@@ -81,8 +81,10 @@ def train_refiner(
             return refiner_model.apply({"params": params}, x_and_cond, t)
         return fn
 
+    # vae_variables / refiner params ride as jit ARGUMENTS (closures would
+    # bake them into the HLO as constants; see pipeline_celeba note).
     @jax.jit
-    def step(params, opt_state, images, key):
+    def step(params, opt_state, vae_variables, images, key):
         rec_key, loss_key = jax.random.split(key)
         # Frozen VAE reconstruction (reparametrized draw, matching the
         # reference's stochastic x_hat, train_celeba_diffvae.py:124-128).
@@ -99,11 +101,18 @@ def train_refiner(
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def val_step(params, images, key):
+    def val_step(params, vae_variables, images, key):
         rec_key, loss_key = jax.random.split(key)
         cond = _recon(image_vae, vae_variables, images, rec_key)
         return ddpm_refiner_loss(loss_key, denoise_fn_of(params), schedule,
                                  2.0 * images - 1.0, 2.0 * cond - 1.0)
+
+    @jax.jit
+    def sample_refined(params, cond, key):
+        from ..diffusion.ddpm import ddpm_refiner_sample
+
+        return ddpm_refiner_sample(key, denoise_fn_of(params), schedule,
+                                   cond, cond.shape)
 
     def full_val_loss(params) -> Optional[float]:
         if images_val is None:
@@ -112,7 +121,7 @@ def train_refiner(
         for i in range(0, images_val.shape[0], batch_size):
             vb = jnp.asarray(to_float01(images_val[i:i + batch_size]))
             vkey, sub = jax.random.split(vkey)
-            vals.append(val_step(params, vb, sub))
+            vals.append(val_step(params, vae_variables, vb, sub))
             weights.append(vb.shape[0])
         return float(np.average(np.asarray(jnp.stack(vals)),
                                 weights=weights))
@@ -123,7 +132,8 @@ def train_refiner(
         for idx in it.epoch():
             batch = jnp.asarray(to_float01(images_train[np.asarray(idx)]))
             key, sub = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, batch, sub)
+            params, opt_state, loss = step(params, opt_state, vae_variables,
+                                           batch, sub)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))  # one sync per epoch
         _log(f"epoch {epoch}: refiner={train_loss:.5f} "
@@ -144,14 +154,12 @@ def train_refiner(
         # Periodic refined-sample grids (evaluate(), diffvae.py:150-211).
         if sample_every and (epoch + 1) % sample_every == 0 \
                 and images_val is not None:
-            from ..diffusion.ddpm import ddpm_refiner_sample
             from ..utils.images import save_modality_grid
 
             vb = jnp.asarray(to_float01(images_val[:4]))
             key, rkey, skey = jax.random.split(key, 3)
             cond = 2.0 * _recon(image_vae, vae_variables, vb, rkey) - 1.0
-            out = ddpm_refiner_sample(skey, denoise_fn_of(params), schedule,
-                                      cond, cond.shape)
+            out = sample_refined(params, cond, skey)
             panel = np.stack([np.asarray(vb),
                               np.asarray(jnp.clip((cond + 1) / 2, 0, 1)),
                               np.asarray(jnp.clip((out + 1) / 2, 0, 1))])

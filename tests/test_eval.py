@@ -123,3 +123,31 @@ def test_coherence_with_oracle_classifier():
     per_mod = jnp.stack([imgs, imgs])  # 2 modalities, same digits
     unc = unconditional_coherence(clf_apply, per_mod, min_agree=2)
     np.testing.assert_allclose(float(unc), 1.0)
+
+
+def test_param_feature_fn_matches_closure():
+    """ParamFeatureFn (params as jit arguments - the anti-HLO-bloat path)
+    produces identical features to a plain closure, sharded and not."""
+    import jax
+    import jax.numpy as jnp
+
+    from score_based_multimodal_autoencoder_tpu.eval.fid import ParamFeatureFn
+
+    w = jax.random.normal(jax.random.key(0), (27, 16))
+
+    def apply_fn(params, x):
+        return x.reshape(x.shape[0], -1) @ params
+
+    split = ParamFeatureFn(apply_fn, w)
+    imgs = jax.random.uniform(jax.random.key(1), (9, 3, 3, 3))
+    ref = compute_features(lambda x: apply_fn(w, x), imgs, batch_size=4)
+    np.testing.assert_allclose(
+        ref, compute_features(split, imgs, batch_size=4), rtol=1e-6)
+    # eager call-through works too (protocol code paths that don't jit)
+    np.testing.assert_allclose(
+        np.asarray(split(imgs)), np.asarray(apply_fn(w, imgs)), rtol=1e-6)
+    # sharded over the 8-device CPU mesh (batch divisible by n_dev)
+    imgs8 = jax.random.uniform(jax.random.key(2), (16, 3, 3, 3))
+    np.testing.assert_allclose(
+        compute_features(lambda x: apply_fn(w, x), imgs8, batch_size=8),
+        compute_features(split, imgs8, batch_size=8), rtol=1e-6)

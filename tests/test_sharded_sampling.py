@@ -44,3 +44,23 @@ def test_sharded_sampling_matches_single_device():
     cond_b = sharded.sample_conditional(jax.random.key(4), pixels, [1])
     np.testing.assert_allclose(np.array(cond_a), np.array(cond_b), atol=0.05)
     np.testing.assert_array_equal(np.array(cond_b[0]), np.array(pixels[0]))
+
+
+def test_bake_params_matches_default():
+    """bake_params=True (weights embedded as HLO constants - the measured
+    +10% small-model path) is numerically identical to argument plumbing:
+    same programs modulo how the params enter."""
+    default = _build()
+    baked = _build()
+    baked.bake_params = True
+
+    out_a = default.sample_unconditional(jax.random.key(5), 8)
+    out_b = baked.sample_unconditional(jax.random.key(5), 8)
+    np.testing.assert_allclose(np.array(out_a), np.array(out_b),
+                               rtol=1e-5, atol=1e-5)
+
+    pixels = jax.random.uniform(jax.random.key(6), (2, 8, 16, 16, 3))
+    cond_a = default.sample_conditional(jax.random.key(7), pixels, [1])
+    cond_b = baked.sample_conditional(jax.random.key(7), pixels, [1])
+    np.testing.assert_allclose(np.array(cond_a), np.array(cond_b),
+                               rtol=1e-5, atol=1e-5)

@@ -18,10 +18,14 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/reference")
 
 # h_vae_model_copy imports torchvision only for Res50CLF; stub it out
-# (torchvision is absent in this environment).
+# (torchvision is absent in this environment). The stub is MARKED so other
+# tests that importorskip("torchvision") for real functionality can detect
+# it and still skip (it leaks via sys.modules across the whole pytest
+# process - this was an order-dependent failure in full-suite runs).
 if "torchvision" not in sys.modules:
     tv = types.ModuleType("torchvision")
     tv.models = types.SimpleNamespace(resnet50=lambda *a, **k: None)
+    tv.__sbmae_stub__ = True
     sys.modules["torchvision"] = tv
 
 import jax  # noqa: E402

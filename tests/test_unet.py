@@ -173,3 +173,30 @@ def test_latent_unet_mxu_depthwise_param_compat():
     np.testing.assert_allclose(np.asarray(a.apply(va, x, t)),
                                np.asarray(b.apply(va, x, t)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_latent_unet_mxu_max_positions_hybrid():
+    """mxu_max_positions gates the MXU depthwise path per level without
+    changing the param tree or the math: the hybrid (cutoff 64: conv at
+    16x16, MXU at <=8x8 - the celebhq flagship layout) matches both the
+    pure-conv and pure-MXU models on shared params."""
+    import jax
+    import jax.numpy as jnp
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    t = jnp.full((2,), 0.5)
+    conv = LatentUNet(dim=16, channels=3, dim_mults=(1, 2))
+    hybrid = LatentUNet(dim=16, channels=3, dim_mults=(1, 2),
+                        mxu_depthwise=True, mxu_max_positions=64)
+    full = LatentUNet(dim=16, channels=3, dim_mults=(1, 2),
+                      mxu_depthwise=True, mxu_max_positions=256)
+    v = conv.init(jax.random.key(1), x, t)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        hybrid.init(jax.random.key(1), x, t))
+    ref = np.asarray(conv.apply(v, x, t))
+    np.testing.assert_allclose(ref, np.asarray(hybrid.apply(v, x, t)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ref, np.asarray(full.apply(v, x, t)),
+                               rtol=1e-4, atol=1e-4)
