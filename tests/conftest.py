@@ -19,5 +19,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon plugin's register() (sitecustomize) runs BEFORE this file and
+# does jax.config.update("jax_platforms", "axon,cpu"), overriding the env
+# var above and making the tunneled backend REQUIRED: if the tunnel is
+# down, every backends() call raises/hangs even in CPU-forced runs.
+# Overriding the config value back to "cpu" makes the suite fully
+# tunnel-independent.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-model parity and the like)")
