@@ -96,6 +96,35 @@ def peak_flops():
     return 197e12  # assume v5e
 
 
+def wait_for_devices(max_wait_s=None):
+    """Bounded retry around first device init.
+
+    The tunneled axon backend can be transiently unavailable ("UNAVAILABLE:
+    TPU backend setup/compile error"), and jax caches a failed backend init
+    - so each retry clears the backend registry first. Keeps a driver-side
+    bench run alive through a tunnel blip instead of dying at import time.
+    """
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", 900))
+    t0, delay = time.perf_counter(), 10.0
+    while True:
+        try:
+            return jax.devices()
+        except Exception as e:
+            waited = time.perf_counter() - t0
+            if waited + delay > max_wait_s:
+                raise
+            log(f"device init failed after {waited:.0f}s ({e}); "
+                f"retrying in {delay:.0f}s")
+            try:
+                from jax.extend.backend import clear_backends
+                clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay)
+            delay = min(delay * 1.6, 120.0)
+
+
 class Workload:
     """One (model config, grid, N) sampling workload."""
 
@@ -219,6 +248,49 @@ class Workload:
         # Median: per-step dispatch latency over the device link fluctuates.
         return sorted(times)[len(times) // 2]
 
+    def time_train_step(self, batch, reps=10):
+        """Jitted DSM training-step throughput (grad + adam update).
+
+        The training-side analogue of time_fused: one fused program per
+        step, params as jit arguments, steps chained so the device runs
+        them back to back (each step consumes the previous step's params,
+        so enqueueing reps costs one dispatch each but executes serially).
+        Matches the framework's stage-2 trainer step
+        (train/trainer.py train_score_model; reference loop:
+        /root/reference/train_poly_unet_cont.py:300-360).
+        """
+        import optax
+
+        from score_based_multimodal_autoencoder_tpu.diffusion.losses import (
+            dsm_loss,
+        )
+
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(self.params)
+        x0 = jax.random.normal(
+            jax.random.key(1), (batch, self.hw, self.hw, self.channels))
+
+        @jax.jit
+        def step(params, opt_state, x0, key):
+            def loss_fn(p):
+                return dsm_loss(
+                    key, lambda x, t: self.model.apply(p, x, t),
+                    self.sde, x0, likelihood_weighting=False)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state, loss = step(self.params, opt_state, x0,
+                                       jax.random.key(2))
+        force_sync(loss)  # compile+settle
+        t = time.perf_counter()
+        for i in range(reps):
+            params, opt_state, loss = step(params, opt_state, x0,
+                                           jax.random.key(3 + i))
+        force_sync(loss)
+        return (time.perf_counter() - t) / reps
+
     def measure(self, batch, peak, label, reps=3, bake_params=False):
         sec = self.time_fused(batch, reps, bake_params=bake_params)
         sps = batch / sec
@@ -238,6 +310,7 @@ def main():
     # tunnel - measured 50.6 s -> 11.1 s on a warm small-UNet program):
     # repeat bench runs skip every previously-seen compile.
     enable_compilation_cache()
+    wait_for_devices()  # ride out transient tunnel outages
     peak = peak_flops()
     n_dev = max(1, len(jax.devices()))
     log(f"device: {jax.devices()[0].device_kind} x{n_dev}, "
@@ -283,6 +356,17 @@ def main():
             result["vs_baseline"] = round(result["value"] * n_dev / base_sps, 3)
     except Exception as e:
         log(f"baseline anchor FAILED: {e}")
+
+    # 2b. Training-step throughput on the headline model (jitted DSM
+    #     grad+update, b1024): the training-side fused-program number.
+    if poly_tpu is not None and left() > 300:
+        try:
+            tsec = poly_tpu.time_train_step(1024)
+            result["train_sps"] = round(1024 / tsec / n_dev, 2)
+            log(f"train-step (tpu128-b1024): {tsec*1e3:.1f} ms/step -> "
+                f"{1024/tsec:.0f} samples/s")
+        except Exception as e:
+            log(f"train-step variant FAILED: {e}")
 
     # 3. CelebA-HQ flagship: 16x16 grid, dim=256, mults (1,2,2,2,2), N=1000
     #    (the reference's costliest loop). TPU preset model
