@@ -64,6 +64,11 @@ def main():
     p.add_argument("--tpu-preset", action="store_true",
                    help="checkpoint was trained with ScoreConfig.*_tpu "
                         "(128-stem + MXU depthwise)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="DP-shard score-model generation over all visible "
+                        "devices (--amount must divide the device count); "
+                        "FID feature extraction is device-sharded either "
+                        "way (eval/fid.compute_features)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -106,6 +111,11 @@ def main():
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()  # all devices on the 'data' axis
     if args.track == "ae":
         # Annealed-Langevin AE track (gen_ae, fid_upd10.py:56-110): the
         # sigma-index score net + AE fleet through the same protocols.
@@ -119,14 +129,15 @@ def main():
             score_params=score["params"], sde=None,
             latent_hw=score_cfg.latent_hw, sampler_kwargs=overrides,
             sigma_max=args.sigma_max, sigma_min=args.sigma_min,
-            n_levels=args.sigma_levels)
+            n_levels=args.sigma_levels, mesh=mesh)
     else:
         pipeline = SBMAEPipeline(
             fleet=fleet, fleet_state=fleet_state, score_model=model,
             score_params=score["params"],
             sde=score_cfg.build_sde(sample=True),
             latent_hw=score_cfg.latent_hw,
-            sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+            sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs},
+            mesh=mesh)
 
     samplers = {"score": pipeline}
     for spec in args.baseline:

@@ -78,6 +78,9 @@ def main():
     p.add_argument("--tpu-preset", action="store_true",
                    help="checkpoint was trained with ScoreConfig.*_tpu "
                         "(128-stem + MXU depthwise)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="DP-shard generation over all visible devices "
+                        "(the batch/amount must divide the device count)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="JSONL output path")
     args = p.parse_args()
@@ -174,6 +177,11 @@ def main():
         score_cfg = cfg_fn(sample_n=args.sample_n, dim=args.dim,
                                         latent_hw=hw, **extra)
         score = CheckpointManager(args.score_ckpt).restore_raw("last")
+        mesh = None
+        if args.data_parallel:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh()  # all devices on the 'data' axis
         if args.track.startswith("annealed"):
             from ..pipeline_celeba import AnnealedHeterogeneousPipeline
 
@@ -181,13 +189,14 @@ def main():
                 modalities=mods, score_model=score_cfg.build_model(),
                 score_params=score["params"], sde=None, latent_hw=hw,
                 n_levels=args.sigma_levels, iter_num=args.iter_num,
-                track=args.track.split("-")[1])
+                track=args.track.split("-")[1], mesh=mesh)
         else:
             models["score"] = HeterogeneousPipeline(
                 modalities=mods, score_model=score_cfg.build_model(),
                 score_params=score["params"],
                 sde=score_cfg.build_sde(sample=True), latent_hw=hw,
-                sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+                sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs},
+                mesh=mesh)
 
     for spec in args.baseline:
         mix_type, _, ckpt = spec.partition("=")

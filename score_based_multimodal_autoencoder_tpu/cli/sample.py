@@ -31,6 +31,9 @@ def main():
     p.add_argument("--tpu-preset", action="store_true",
                    help="checkpoint was trained with ScoreConfig.*_tpu "
                         "(128-stem + MXU depthwise)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="DP-shard generation over all visible devices "
+                        "(amount/batch must divide the device count)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     args = p.parse_args()
@@ -58,11 +61,16 @@ def main():
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()  # all devices on the 'data' axis
     pipeline = SBMAEPipeline(
         fleet=fleet, fleet_state=fleet_state, score_model=model,
         score_params=score["params"], sde=score_cfg.build_sde(sample=True),
         latent_hw=score_cfg.latent_hw,
-        sampler_kwargs={"pc": args.pc})
+        sampler_kwargs={"pc": args.pc}, mesh=mesh)
 
     key = jax.random.key(args.seed)
     if args.given:

@@ -37,6 +37,9 @@ def main():
     p.add_argument("--tpu-preset", action="store_true",
                    help="checkpoint was trained with ScoreConfig.*_tpu "
                         "(128-stem + MXU depthwise)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="DP-shard generation over all visible devices "
+                        "(the batch/amount must divide the device count)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="./grids")
     args = p.parse_args()
@@ -78,11 +81,17 @@ def main():
     score_cfg = cfg_fn(sample_n=args.sample_n)
     score_model = score_cfg.build_model()
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()  # all devices on the 'data' axis
     pipe = HeterogeneousPipeline(
         modalities=mods, score_model=score_model,
         score_params=score["params"], sde=score_cfg.build_sde(sample=True),
         latent_hw=score_cfg.latent_hw,
-        sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs})
+        sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs},
+        mesh=mesh)
 
     refiner = refiner_params = schedule = None
     if args.refiner_ckpt:

@@ -52,6 +52,7 @@ class HeterogeneousPipeline:
     sde: Any
     latent_hw: int
     sampler_kwargs: Dict[str, Any] = field(default_factory=dict)
+    mesh: Any = None  # optional jax.sharding.Mesh: DP-shard generation
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
@@ -59,6 +60,32 @@ class HeterogeneousPipeline:
     @property
     def n_mod(self):
         return len(self.modalities)
+
+    def _jit(self, fn, batch_arg_idx=()):
+        """jit with optional data-parallel shardings over ``mesh``.
+
+        The heterogeneous analogue of SBMAEPipeline._jit: here per-modality
+        inputs/outputs are tuples of arrays whose FIRST axis is the batch,
+        so ``batch_arg_idx`` args shard P('data') on axis 0 (batch must
+        divide the mesh's data-axis size); params/keys replicate. Without a
+        mesh this is plain single-device jit (SURVEY.md §2.8: sampling is
+        pure data parallel).
+        """
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P("data"))
+        jitted = jax.jit(fn, out_shardings=dat)
+
+        def wrapper(*args):
+            args = tuple(
+                jax.device_put(a, dat if i in batch_arg_idx else rep)
+                for i, a in enumerate(args))
+            return jitted(*args)
+
+        return wrapper
 
     # Parameter plumbing rule: every jitted program below takes the score
     # params and the per-modality VAE variables as ARGUMENTS. Closing over
@@ -106,7 +133,6 @@ class HeterogeneousPipeline:
         if cache_key not in self._jit_cache:
             mask_arr = jnp.array(mask)
 
-            @jax.jit
             def run(key, inputs, score_params, mod_vars):
                 grid = self._encode_grid(mod_vars, inputs)
 
@@ -118,7 +144,7 @@ class HeterogeneousPipeline:
                     key, score_fn, self.sde, grid, mask_arr, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(1,))
         return list(self._jit_cache[cache_key](
             key, tuple(inputs), self.score_params, self._mod_vars))
 
@@ -134,7 +160,6 @@ class HeterogeneousPipeline:
         cache_key = ("refine", id(refiner_model), id(schedule), images.shape)
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, images, refiner_params):
                 cond = 2.0 * images - 1.0
 
@@ -146,7 +171,7 @@ class HeterogeneousPipeline:
                                           cond.shape)
                 return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0)
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(1,))
         return self._jit_cache[cache_key](key, images, refiner_params)
 
     def sample_unconditional(self, key, amount: int, **overrides):
@@ -154,7 +179,6 @@ class HeterogeneousPipeline:
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, score_params, mod_vars):
                 def score_fn(x, t):
                     return self.score_model.apply(
@@ -164,7 +188,7 @@ class HeterogeneousPipeline:
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))
 
@@ -226,7 +250,6 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
         if cache_key not in self._jit_cache:
             predicted = jnp.array([not m for m in mask])
 
-            @jax.jit
             def run(key, inputs, score_params, mod_vars):
                 def score_fn(x, idx, sig):
                     return self.score_model.apply(
@@ -240,7 +263,7 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
                                               predicted, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(1,))
         return list(self._jit_cache[cache_key](
             key, tuple(inputs), self.score_params, self._mod_vars))
 
@@ -255,7 +278,6 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
                      self.n_levels)
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, score_params, mod_vars):
                 def score_fn(x, idx, sig):
                     return self.score_model.apply(
@@ -268,7 +290,7 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
                     lkey, score_fn, x0, jnp.ones((self.n_mod,), bool), **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))
 
@@ -299,7 +321,6 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
         if cache_key not in self._jit_cache:
             mask_arr = jnp.array(mask)
 
-            @jax.jit
             def run(key, inputs, score_params, mod_vars, rep_vars):
                 grid = self._encode_grid(mod_vars, inputs)
                 z_cond = self._z_cond(rep_vars, inputs, mask_arr)
@@ -312,7 +333,7 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
                     key, score_fn, self.sde, grid, mask_arr, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(1,))
         return list(self._jit_cache[cache_key](
             key, tuple(inputs), self.score_params, self._mod_vars,
             tuple(self.rep_variables)))
@@ -322,7 +343,6 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
         cache_key = ("zuncond", amount, tuple(sorted(kw.items())))
         if cache_key not in self._jit_cache:
 
-            @jax.jit
             def run(key, score_params, mod_vars):
                 z_dim = self.score_model.z_dim or 512
                 z_cond = jnp.zeros((amount, z_dim))
@@ -335,6 +355,6 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = run
+            self._jit_cache[cache_key] = self._jit(run)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))

@@ -46,6 +46,58 @@ def test_sharded_sampling_matches_single_device():
     np.testing.assert_array_equal(np.array(cond_b[0]), np.array(pixels[0]))
 
 
+def test_heterogeneous_sharded_matches_single_device():
+    """HeterogeneousPipeline(mesh=...) DP-shards CelebA-style generation
+    (leading-batch-axis analogue of the fleet pipeline's sharding)."""
+    from score_based_multimodal_autoencoder_tpu.models import (
+        AttributeVAE,
+        ResVAE,
+    )
+    from score_based_multimodal_autoencoder_tpu.pipeline_celeba import (
+        HeterogeneousPipeline,
+        Modality,
+    )
+
+    size, z, hw, B = 16, 16, 4, 8
+    img_vae = ResVAE(((8, 8, 8, 2), (8, 16, 16, 2)),
+                     ((16, 8, 8, 2), (8, 8, 8, 2)),
+                     size_in=size, size_z=z, img_ch=3, variant="celeb")
+    attr_vae = AttributeVAE(size_z=z, att_size=18)
+    images = jax.random.uniform(jax.random.key(0), (B, size, size, 3))
+    attrs = (jax.random.uniform(jax.random.key(1), (B, 18)) > 0.5).astype(
+        jnp.float32)
+    mods = []
+    for name, model, x in [("image", img_vae, images), ("attr", attr_vae, attrs)]:
+        variables = model.init(jax.random.key(2), x, key=jax.random.key(3),
+                               train=True)
+        mods.append(Modality(name, model, variables))
+    score_model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+    grid0 = jnp.zeros((B, hw, hw, 2))
+    score_params = score_model.init(
+        jax.random.key(4), grid0, jnp.full((B,), 0.5))["params"]
+
+    def build(mesh):
+        return HeterogeneousPipeline(
+            modalities=mods, score_model=score_model,
+            score_params=score_params, sde=VPSDE(N=6), latent_hw=hw,
+            mesh=mesh)
+
+    single, sharded = build(None), build(make_mesh(fleet_size=1))
+
+    out_a = single.sample_unconditional(jax.random.key(5), 8)
+    out_b = sharded.sample_unconditional(jax.random.key(5), 8)
+    assert len(out_b[0].sharding.device_set) == 8
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=0.05)
+
+    cond_a = single.sample_conditional(jax.random.key(6), [images, attrs],
+                                       [True, False])
+    cond_b = sharded.sample_conditional(jax.random.key(6), [images, attrs],
+                                        [True, False])
+    for a, b in zip(cond_a, cond_b):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=0.05)
+
+
 def test_bake_params_matches_default():
     """bake_params=True (weights embedded as HLO constants - the measured
     +10% small-model path) matches argument plumbing: same math, but XLA
