@@ -37,6 +37,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet_finetuned")
     args = p.parse_args()
@@ -56,6 +58,15 @@ def main():
     from ..train.configs import VAEConfig
     from ..train.finetune import make_finetune_step
     from ..train.lr import adam_with_mutable_lr
+    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    # Pixel batches here are modality-major (n_mod, B, ...).
+    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
 
     if args.synthetic:
         from ..data import synthetic_polymnist
@@ -75,6 +86,7 @@ def main():
     # Fresh finetune optimizer over the restored params (the reference
     # builds new Adam(lr) per VAE, train_psm_upd_res_finetune.py:279).
     fleet_state["opt_state"] = jax.vmap(fleet.tx.init)(fleet_state["params"])
+    fleet_state = _replicate(fleet_state, rep)
 
     key = jax.random.key(args.seed)
     sm_model = FlatScoreMLP()  # LSMPoly64_sm widths over D = n_mod * size_z
@@ -112,7 +124,8 @@ def main():
         for epoch in range(args.sm_epochs):
             t0, losses = time.time(), []
             for idx in it.epoch():
-                batch = jnp.asarray(gather_batch_01(pixels, idx))
+                batch = _put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
+                                   batch_sh, axis=1)
                 key, e_key, s_key = jax.random.split(key, 3)
                 z = encode_flat(batch, e_key)
                 sm_params, sm_opt, loss = sm_step(sm_params, sm_opt, z, s_key)
@@ -137,7 +150,7 @@ def main():
         target = {"state": fleet_state, "epoch": 0,
                   "key": jax.random.key_data(key)}
         saved = mgr.restore(target, "resume")
-        fleet_state = saved["state"]
+        fleet_state = _replicate(saved["state"], rep)
         start_epoch = int(saved["epoch"]) + 1
         key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
         print(f"resumed finetune from epoch {start_epoch}", flush=True)
@@ -146,7 +159,8 @@ def main():
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = jnp.asarray(gather_batch_01(pixels, idx))
+            batch = _put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
+                               batch_sh, axis=1)
             key, sub = jax.random.split(key)
             fleet_state, per_mod = step(fleet_state, batch, sub)
             losses.append(per_mod.sum())

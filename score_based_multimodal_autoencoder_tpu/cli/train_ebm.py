@@ -25,6 +25,8 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="continue from the resume checkpoint in --ckpt-dir")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh)")
     p.add_argument("--ckpt-dir", default="./checkpoints/ebm")
     args = p.parse_args()
 
@@ -42,6 +44,15 @@ def main():
     from ..train.checkpoints import CheckpointManager
     from ..train.configs import VAEConfig
     from ..train.lr import adam_with_mutable_lr
+    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    # Pixel batches here are modality-major (n_mod, B, ...).
+    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
 
     if args.synthetic:
         from ..data import synthetic_polymnist
@@ -99,12 +110,16 @@ def main():
         rng = np.random.default_rng(args.seed + start_epoch)
         print(f"resumed from epoch {start_epoch}", flush=True)
 
+    params = _replicate(params, rep)
+    opt_state = _replicate(opt_state, rep)
+    fleet_state = _replicate(fleet_state, rep)
     n = pixels.shape[1]
     it = BatchIterator(np.arange(n), args.batch_size, seed=args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = jnp.asarray(to_float01(pixels[:, np.asarray(idx)]))
+            batch = _put_batch(jnp.asarray(to_float01(
+                pixels[:, np.asarray(idx)])), batch_sh, axis=1)
             m1, m2 = rng.permutation(args.n_mod)[:2]
             z1, z2 = encode_pair(fleet_state, batch, int(m1), int(m2))
             key, sub = jax.random.split(key)

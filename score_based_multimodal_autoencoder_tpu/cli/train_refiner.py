@@ -36,6 +36,8 @@ def main():
     p.add_argument("--sample-dir", default=".")
     p.add_argument("--metrics", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices (DP mesh)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/refiner")
     args = p.parse_args()
@@ -74,12 +76,17 @@ def main():
         num_heads=args.num_heads)
     schedule = DDPMSchedule(timesteps=args.timesteps)
 
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     train_refiner(
         refiner, schedule, image_vae, vae_vars, tr.images, va.images,
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         seed=args.seed, ckpt_dir=args.ckpt_dir,
         sample_every=args.sample_every, sample_dir=args.sample_dir,
-        metrics_path=args.metrics, resume=args.resume)
+        metrics_path=args.metrics, resume=args.resume, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ def train_refiner(
     sample_dir: Optional[str] = None,
     metrics_path: Optional[str] = None,
     resume: bool = False,
+    mesh=None,
 ) -> Dict[str, Any]:
     key = jax.random.key(seed + 300)
     val_key = jax.random.key(seed + 7919)  # fixed: comparable epoch-to-epoch
@@ -75,6 +76,13 @@ def train_refiner(
             mgr.best_metric = None if np.isnan(best) else best
         opt_state = mgr.restore_opt(opt_state)
         _log(f"resumed refiner from epoch {start_epoch}")
+
+    from .trainer import _dp_shardings, _put_batch, _replicate
+
+    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
+    params = _replicate(params, rep)
+    opt_state = _replicate(opt_state, rep)
+    vae_variables = _replicate(vae_variables, rep)
 
     def denoise_fn_of(params):
         def fn(x_and_cond, t):
@@ -119,7 +127,8 @@ def train_refiner(
             return None
         vals, weights, vkey = [], [], val_key
         for i in range(0, images_val.shape[0], batch_size):
-            vb = jnp.asarray(to_float01(images_val[i:i + batch_size]))
+            vb = _put_batch(jnp.asarray(to_float01(
+                images_val[i:i + batch_size])), batch_sh, axis=0)
             vkey, sub = jax.random.split(vkey)
             vals.append(val_step(params, vae_variables, vb, sub))
             weights.append(vb.shape[0])
@@ -130,7 +139,8 @@ def train_refiner(
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = jnp.asarray(to_float01(images_train[np.asarray(idx)]))
+            batch = _put_batch(jnp.asarray(to_float01(
+                images_train[np.asarray(idx)])), batch_sh, axis=0)
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, vae_variables,
                                            batch, sub)
