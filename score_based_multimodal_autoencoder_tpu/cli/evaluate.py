@@ -66,7 +66,8 @@ def main():
                         "(128-stem + MXU depthwise)")
     p.add_argument("--data-parallel", action="store_true",
                    help="DP-shard score-model generation over all visible "
-                        "devices (--amount must divide the device count); "
+                        "devices (the device count must divide --amount; "
+                        "non-divisible batches fall back to one device); "
                         "FID feature extraction is device-sharded either "
                         "way (eval/fid.compute_features)")
     p.add_argument("--seed", type=int, default=0)
@@ -111,11 +112,9 @@ def main():
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()  # all devices on the 'data' axis
+    mesh = mesh_from_flag(args.data_parallel)  # all devices on the 'data' axis
     if args.track == "ae":
         # Annealed-Langevin AE track (gen_ae, fid_upd10.py:56-110): the
         # sigma-index score net + AE fleet through the same protocols.

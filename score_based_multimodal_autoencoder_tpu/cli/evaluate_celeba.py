@@ -15,6 +15,7 @@ table - plus an optional FGSM adversarial row
 
 import argparse
 import json
+import sys
 
 
 def main():
@@ -80,7 +81,8 @@ def main():
                         "(128-stem + MXU depthwise)")
     p.add_argument("--data-parallel", action="store_true",
                    help="DP-shard generation over all visible devices "
-                        "(the batch/amount must divide the device count)")
+                        "(the device count must divide the batch/amount; "
+                        "non-divisible batches fall back to one device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="JSONL output path")
     args = p.parse_args()
@@ -122,6 +124,16 @@ def main():
                 [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
                  f[:, ::max(1, f.shape[1] // 64)]], -1)
 
+    from ..parallel import mesh_from_flag
+
+    mesh = mesh_from_flag(args.data_parallel)  # all devices on 'data'
+    if mesh is not None and not args.score_ckpt:
+        # Only the score pipelines shard generation; the baseline samplers
+        # run single-device regardless - say so instead of silently
+        # ignoring the flag.
+        print("[evaluate_celeba] --data-parallel: no --score-ckpt given; "
+              "baseline generation runs single-device (FID feature "
+              "extraction still shards over all devices)", file=sys.stderr)
     refine_fn = None
     if args.refiner_ckpt:
         # DiffuseVAE sharpening of the generated image modality before FID,
@@ -177,11 +189,6 @@ def main():
         score_cfg = cfg_fn(sample_n=args.sample_n, dim=args.dim,
                                         latent_hw=hw, **extra)
         score = CheckpointManager(args.score_ckpt).restore_raw("last")
-        mesh = None
-        if args.data_parallel:
-            from ..parallel import make_mesh
-
-            mesh = make_mesh()  # all devices on the 'data' axis
         if args.track.startswith("annealed"):
             from ..pipeline_celeba import AnnealedHeterogeneousPipeline
 

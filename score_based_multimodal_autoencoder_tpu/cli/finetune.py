@@ -58,15 +58,13 @@ def main():
     from ..train.configs import VAEConfig
     from ..train.finetune import make_finetune_step
     from ..train.lr import adam_with_mutable_lr
-    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
     # Pixel batches here are modality-major (n_mod, B, ...).
-    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
+    rep, batch_sh = dp_shardings(mesh, modality_major=True)
 
     if args.synthetic:
         from ..data import synthetic_polymnist
@@ -86,7 +84,7 @@ def main():
     # Fresh finetune optimizer over the restored params (the reference
     # builds new Adam(lr) per VAE, train_psm_upd_res_finetune.py:279).
     fleet_state["opt_state"] = jax.vmap(fleet.tx.init)(fleet_state["params"])
-    fleet_state = _replicate(fleet_state, rep)
+    fleet_state = replicate_tree(fleet_state, rep)
 
     key = jax.random.key(args.seed)
     sm_model = FlatScoreMLP()  # LSMPoly64_sm widths over D = n_mod * size_z
@@ -124,7 +122,7 @@ def main():
         for epoch in range(args.sm_epochs):
             t0, losses = time.time(), []
             for idx in it.epoch():
-                batch = _put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
+                batch = put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
                                    batch_sh, axis=1)
                 key, e_key, s_key = jax.random.split(key, 3)
                 z = encode_flat(batch, e_key)
@@ -150,7 +148,7 @@ def main():
         target = {"state": fleet_state, "epoch": 0,
                   "key": jax.random.key_data(key)}
         saved = mgr.restore(target, "resume")
-        fleet_state = _replicate(saved["state"], rep)
+        fleet_state = replicate_tree(saved["state"], rep)
         start_epoch = int(saved["epoch"]) + 1
         key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
         print(f"resumed finetune from epoch {start_epoch}", flush=True)
@@ -159,7 +157,7 @@ def main():
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = _put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
+            batch = put_batch(jnp.asarray(gather_batch_01(pixels, idx)),
                                batch_sh, axis=1)
             key, sub = jax.random.split(key)
             fleet_state, per_mod = step(fleet_state, batch, sub)

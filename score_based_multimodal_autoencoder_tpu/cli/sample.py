@@ -33,7 +33,8 @@ def main():
                         "(128-stem + MXU depthwise)")
     p.add_argument("--data-parallel", action="store_true",
                    help="DP-shard generation over all visible devices "
-                        "(amount/batch must divide the device count)")
+                        "(the device count must divide the amount/batch; "
+                        "non-divisible batches fall back to one device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples.png")
     args = p.parse_args()
@@ -61,11 +62,9 @@ def main():
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()  # all devices on the 'data' axis
+    mesh = mesh_from_flag(args.data_parallel)  # all devices on the 'data' axis
     pipeline = SBMAEPipeline(
         fleet=fleet, fleet_state=fleet_state, score_model=model,
         score_params=score["params"], sde=score_cfg.build_sde(sample=True),

@@ -39,7 +39,8 @@ def main():
                         "(128-stem + MXU depthwise)")
     p.add_argument("--data-parallel", action="store_true",
                    help="DP-shard generation over all visible devices "
-                        "(the batch/amount must divide the device count)")
+                        "(the device count must divide the batch/amount; "
+                        "non-divisible batches fall back to one device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="./grids")
     args = p.parse_args()
@@ -81,11 +82,9 @@ def main():
     score_cfg = cfg_fn(sample_n=args.sample_n)
     score_model = score_cfg.build_model()
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()  # all devices on the 'data' axis
+    mesh = mesh_from_flag(args.data_parallel)  # all devices on the 'data' axis
     pipe = HeterogeneousPipeline(
         modalities=mods, score_model=score_model,
         score_params=score["params"], sde=score_cfg.build_sde(sample=True),

@@ -53,18 +53,16 @@ def main():
 
     from ..data.loader import BatchIterator, to_float01
     from ..train.checkpoints import CheckpointManager
-    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
     key = jax.random.key(args.seed)
     tx = optax.adam(args.lr)
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
     # PolyMNIST batches are modality-major (n_mod, B, ...); CelebA gathers
     # return per-modality (B, ...) tuples.
-    rep, batch_sh = _dp_shardings(mesh,
+    rep, batch_sh = dp_shardings(mesh,
                                   modality_major=args.dataset == "polymnist")
     batch_axis = 1 if args.dataset == "polymnist" else 0
 
@@ -89,16 +87,16 @@ def main():
         key = jax.random.wrap_key_data(jnp.asarray(saved["key"]))
         print(f"resumed from epoch {start_epoch}", flush=True)
 
-    params = _replicate(params, rep)
-    stats = _replicate(stats, rep) if stats is not None else None
-    opt_state = _replicate(opt_state, rep)
+    params = replicate_tree(params, rep)
+    stats = replicate_tree(stats, rep) if stats is not None else None
+    opt_state = replicate_tree(opt_state, rep)
 
     n = batches.n
     it = BatchIterator(np.arange(n), args.batch_size, seed=args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = _put_batch(batches.gather(np.asarray(idx)),
+            batch = put_batch(batches.gather(np.asarray(idx)),
                                batch_sh, axis=batch_axis)
             key, sub = jax.random.split(key)
             params, stats, opt_state, loss = step(params, stats, opt_state,

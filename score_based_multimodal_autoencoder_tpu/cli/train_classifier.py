@@ -48,7 +48,7 @@ def main():
     from ..data.loader import BatchIterator, to_float01
     from ..models.classifiers import PolyMNISTClassifier, center_crop_28
     from ..train.checkpoints import CheckpointManager
-    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
     if args.dataset == "celeba":
         _train_celeba_attr_clf(args)
@@ -70,12 +70,10 @@ def main():
     variables = clf.init(jax.random.key(0), jnp.zeros((1, 28, 28, 3)))
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables["params"])
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
-    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
+    mesh = mesh_from_flag(args.data_parallel)
+    rep, batch_sh = dp_shardings(mesh, modality_major=False)
 
     @jax.jit
     def step(params, opt_state, x, y):
@@ -111,15 +109,15 @@ def main():
         best = float(saved["best_metric"])
         mgr.best_metric = None if np.isnan(best) else best
         print(f"resumed classifier from epoch {start_epoch}", flush=True)
-    params = _replicate(params, rep)
-    opt_state = _replicate(opt_state, rep)
+    params = replicate_tree(params, rep)
+    opt_state = replicate_tree(opt_state, rep)
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for b in it.epoch():
-            x = _put_batch(center_crop_28(jnp.asarray(to_float01(b["x"]))),
+            x = put_batch(center_crop_28(jnp.asarray(to_float01(b["x"]))),
                            batch_sh, axis=0)
             params, opt_state, loss = step(params, opt_state, x,
-                                           _put_batch(jnp.asarray(b["y"]),
+                                           put_batch(jnp.asarray(b["y"]),
                                                       batch_sh, axis=0))
             losses.append(loss)
         vx = center_crop_28(jnp.asarray(to_float01(val.images[0, :512])))
@@ -150,14 +148,12 @@ def _train_celeba_attr_clf(args):
     from ..eval.metrics import samples_f1
     from ..models.classifiers import ResClassifier
     from ..train.checkpoints import CheckpointManager
-    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
-    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
+    mesh = mesh_from_flag(args.data_parallel)
+    rep, batch_sh = dp_shardings(mesh, modality_major=False)
 
     if args.synthetic:
         from ..data import synthetic_celeba
@@ -211,9 +207,9 @@ def _train_celeba_attr_clf(args):
         best = float(saved["best_metric"])
         mgr.best_metric = None if np.isnan(best) else best
         print(f"resumed classifier from epoch {start_epoch}", flush=True)
-    params = _replicate(params, rep)
-    stats = _replicate(stats, rep)
-    opt_state = _replicate(opt_state, rep)
+    params = replicate_tree(params, rep)
+    stats = replicate_tree(stats, rep)
+    opt_state = replicate_tree(opt_state, rep)
     it = BatchIterator(np.arange(len(tr)), args.batch_size, seed=args.seed)
     vx = jnp.asarray(to_float01(va.images[:256]))
     vy = jnp.asarray(va.visible_attrs()[:256])
@@ -221,9 +217,9 @@ def _train_celeba_attr_clf(args):
         t0, losses = time.time(), []
         for idx in it.epoch():
             i = np.asarray(idx)
-            x = _put_batch(jnp.asarray(to_float01(tr.images[i])),
+            x = put_batch(jnp.asarray(to_float01(tr.images[i])),
                            batch_sh, axis=0)
-            y = _put_batch(jnp.asarray(tr.visible_attrs()[i]),
+            y = put_batch(jnp.asarray(tr.visible_attrs()[i]),
                            batch_sh, axis=0)
             params, stats, opt_state, loss = step(params, stats, opt_state,
                                                   x, y)

@@ -44,15 +44,13 @@ def main():
     from ..train.checkpoints import CheckpointManager
     from ..train.configs import VAEConfig
     from ..train.lr import adam_with_mutable_lr
-    from ..train.trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
     # Pixel batches here are modality-major (n_mod, B, ...).
-    rep, batch_sh = _dp_shardings(mesh, modality_major=True)
+    rep, batch_sh = dp_shardings(mesh, modality_major=True)
 
     if args.synthetic:
         from ..data import synthetic_polymnist
@@ -110,15 +108,15 @@ def main():
         rng = np.random.default_rng(args.seed + start_epoch)
         print(f"resumed from epoch {start_epoch}", flush=True)
 
-    params = _replicate(params, rep)
-    opt_state = _replicate(opt_state, rep)
-    fleet_state = _replicate(fleet_state, rep)
+    params = replicate_tree(params, rep)
+    opt_state = replicate_tree(opt_state, rep)
+    fleet_state = replicate_tree(fleet_state, rep)
     n = pixels.shape[1]
     it = BatchIterator(np.arange(n), args.batch_size, seed=args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = _put_batch(jnp.asarray(to_float01(
+            batch = put_batch(jnp.asarray(to_float01(
                 pixels[:, np.asarray(idx)])), batch_sh, axis=1)
             m1, m2 = rng.permutation(args.n_mod)[:2]
             z1, z2 = encode_pair(fleet_state, batch, int(m1), int(m2))

@@ -76,11 +76,9 @@ def main():
         num_heads=args.num_heads)
     schedule = DDPMSchedule(timesteps=args.timesteps)
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
     train_refiner(
         refiner, schedule, image_vae, vae_vars, tr.images, va.images,
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,

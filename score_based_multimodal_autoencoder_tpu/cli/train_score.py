@@ -84,11 +84,9 @@ def main():
     from ..train.lr import adam_with_mutable_lr
     from ..train.trainer import train_het_score_model, train_score_model
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
 
     ncsn_sigmas = None
     if args.track == "ae":

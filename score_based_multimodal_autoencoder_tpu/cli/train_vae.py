@@ -44,11 +44,9 @@ def main():
     from ..train.configs import VAEConfig
     from ..train.trainer import train_single_vae, train_vae_fleet
 
-    mesh = None
-    if args.data_parallel:
-        from ..parallel.mesh import make_mesh
+    from ..parallel import mesh_from_flag
 
-        mesh = make_mesh()
+    mesh = mesh_from_flag(args.data_parallel)
 
     if args.dataset == "polymnist":
         cfg = VAEConfig.polymnist(size_z=args.size_z, beta=args.beta)

@@ -159,7 +159,12 @@ def main():
     args = p.parse_args()
 
     from .inception import make_inception_feature_fn
+    from ..utils.cache import enable_compilation_cache
 
+    # Same persistent-executable cache as every cli.* command (this entry
+    # lives outside cli/, so the package-level hook doesn't fire): repeat
+    # directory-FID runs skip the ~24M-param Inception forward compile.
+    enable_compilation_cache()
     feature_fn = make_inception_feature_fn(args.inception_weights)
 
     def stats_for(path):

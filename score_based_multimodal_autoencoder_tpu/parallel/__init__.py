@@ -1,2 +1,11 @@
-from .mesh import make_mesh, shard_batch, replicate, data_parallel_jit
+from .mesh import (
+    data_parallel_jit,
+    dp_shardings,
+    make_mesh,
+    mesh_from_flag,
+    put_batch,
+    replicate,
+    replicate_tree,
+    shard_batch,
+)
 from .fleet import VAEFleet

@@ -70,6 +70,48 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def mesh_from_flag(enabled: bool) -> Optional[Mesh]:
+    """``--data-parallel`` CLI idiom: all-device (data, fleet=1) mesh when
+    enabled, else None (single-device path everywhere downstream)."""
+    return make_mesh() if enabled else None
+
+
+def dp_shardings(mesh: Optional[Mesh], modality_major: bool):
+    """(replicated, batch) shardings for data-parallel training/eval.
+
+    ``mesh`` None = single-device path (both None). Batch axis is sharded
+    over the mesh's 'data' axis: axis 1 for modality-major (n_mod, B, ...)
+    stacks, axis 0 otherwise. Params/opt state stay replicated (SURVEY.md
+    §2.8: models are <100M params, TP/PP deliberately out of scope).
+    """
+    if mesh is None:
+        return None, None
+    spec = P(None, "data") if modality_major else P("data")
+    return NamedSharding(mesh, P()), NamedSharding(mesh, spec)
+
+
+def replicate_tree(tree, rep):
+    """Replicate when ``rep`` is a sharding; pass through when None."""
+    if rep is None:
+        return tree
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def put_batch(tree, sharding, axis: int):
+    """Device-put a batch pytree sharded on ``axis`` when the DP mesh's
+    device count divides that axis (remainder batches - e.g. a val tail -
+    fall back to replicated placement)."""
+    import jax.numpy as jnp
+
+    if sharding is not None:
+        n = sharding.mesh.shape["data"]
+        leaves = jax.tree_util.tree_leaves(tree)
+        if all(leaf.shape[axis] % n == 0 for leaf in leaves):
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
 def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
     """jit a ``(state, batch, key) -> (state, aux)`` step for DP execution.
 

@@ -50,23 +50,36 @@ class SBMAEPipeline:
     def __post_init__(self):
         self._jit_cache: Dict[Tuple, Any] = {}
 
-    def _jit(self, fn, batch_arg_idx=()):
+    def _jit(self, fn, batch_arg_idx=(), batch_size=None):
         """jit with optional data-parallel shardings over the mesh.
 
         ``batch_arg_idx``: indices of args whose SECOND axis is the batch
         (the (n_mod, B, ...) pixel stacks) - sharded over 'data'; everything
         else replicated. Outputs shard their modality-major batch axis.
-        Without a mesh this is plain single-device jit.
+        ``batch_size``: static output batch for programs with no batch arg
+        (unconditional sampling) - used for the divisibility check below.
+        Without a mesh this is plain single-device jit; when the device
+        count does not divide the batch, calls fall back to the unsharded
+        program instead of crashing (matching parallel.mesh.put_batch's
+        trainer-side behavior).
         """
         if self.mesh is None:
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_data = self.mesh.shape["data"]
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P(None, "data"))
         jitted = jax.jit(fn, out_shardings=dat)
+        plain = jax.jit(fn)
 
         def wrapper(*args):
+            sizes = [jax.tree_util.tree_leaves(args[i])[0].shape[1]
+                     for i in batch_arg_idx]
+            if batch_size is not None:
+                sizes.append(batch_size)
+            if any(s % n_data for s in sizes):
+                return plain(*args)
             args = tuple(
                 jax.device_put(a, dat if i in batch_arg_idx else rep)
                 for i, a in enumerate(args))
@@ -98,10 +111,11 @@ class SBMAEPipeline:
 
             if self.bake_params:
                 fs, sp = self.fleet_state, self.score_params
-                baked = self._jit(lambda key: run(key, fs, sp))
+                baked = self._jit(lambda key: run(key, fs, sp),
+                                  batch_size=amount)
                 self._jit_cache[cache_key] = lambda key, _fs, _sp: baked(key)
             else:
-                self._jit_cache[cache_key] = self._jit(run)
+                self._jit_cache[cache_key] = self._jit(run, batch_size=amount)
         return self._jit_cache[cache_key](key, self.fleet_state, self.score_params)
 
     def sample_conditional(
@@ -205,7 +219,13 @@ class AnnealedSBMAEPipeline(SBMAEPipeline):
                     jnp.ones((self.fleet.n_mod,), bool), **kw)
                 return jnp.clip(self.fleet.decode(fleet_state, z), 0.0, 1.0)
 
-            self._jit_cache[cache_key] = self._jit(run)
+            if self.bake_params:
+                fs, sp = self.fleet_state, self.score_params
+                baked = self._jit(lambda key: run(key, fs, sp),
+                                  batch_size=amount)
+                self._jit_cache[cache_key] = lambda key, _fs, _sp: baked(key)
+            else:
+                self._jit_cache[cache_key] = self._jit(run, batch_size=amount)
         return self._jit_cache[cache_key](key, self.fleet_state,
                                           self.score_params)
 
@@ -237,6 +257,13 @@ class AnnealedSBMAEPipeline(SBMAEPipeline):
                 keep = (~predicted_mask).reshape(-1, 1, 1, 1, 1)
                 return jnp.where(keep, pixels, out)
 
-            self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(3,))
+            if self.bake_params:
+                fs, sp = self.fleet_state, self.score_params
+                baked = self._jit(lambda key, pixels: run(key, fs, sp, pixels),
+                                  batch_arg_idx=(1,))
+                self._jit_cache[cache_key] = (
+                    lambda key, _fs, _sp, pixels: baked(key, pixels))
+            else:
+                self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(3,))
         return self._jit_cache[cache_key](
             key, self.fleet_state, self.score_params, pixels)

@@ -61,25 +61,35 @@ class HeterogeneousPipeline:
     def n_mod(self):
         return len(self.modalities)
 
-    def _jit(self, fn, batch_arg_idx=()):
+    def _jit(self, fn, batch_arg_idx=(), batch_size=None):
         """jit with optional data-parallel shardings over ``mesh``.
 
         The heterogeneous analogue of SBMAEPipeline._jit: here per-modality
         inputs/outputs are tuples of arrays whose FIRST axis is the batch,
-        so ``batch_arg_idx`` args shard P('data') on axis 0 (batch must
-        divide the mesh's data-axis size); params/keys replicate. Without a
-        mesh this is plain single-device jit (SURVEY.md §2.8: sampling is
-        pure data parallel).
+        so ``batch_arg_idx`` args shard P('data') on axis 0; params/keys
+        replicate. ``batch_size``: static output batch for programs with no
+        batch arg (unconditional sampling). Without a mesh this is plain
+        single-device jit; when the mesh's device count does not divide the
+        batch, calls fall back to the unsharded program instead of crashing
+        (matching parallel.mesh.put_batch's trainer-side behavior).
         """
         if self.mesh is None:
             return jax.jit(fn)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_data = self.mesh.shape["data"]
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P("data"))
         jitted = jax.jit(fn, out_shardings=dat)
+        plain = jax.jit(fn)
 
         def wrapper(*args):
+            sizes = [jax.tree_util.tree_leaves(args[i])[0].shape[0]
+                     for i in batch_arg_idx]
+            if batch_size is not None:
+                sizes.append(batch_size)
+            if any(s % n_data for s in sizes):
+                return plain(*args)
             args = tuple(
                 jax.device_put(a, dat if i in batch_arg_idx else rep)
                 for i, a in enumerate(args))
@@ -188,7 +198,7 @@ class HeterogeneousPipeline:
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = self._jit(run)
+            self._jit_cache[cache_key] = self._jit(run, batch_size=amount)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))
 
@@ -290,7 +300,7 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
                     lkey, score_fn, x0, jnp.ones((self.n_mod,), bool), **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = self._jit(run)
+            self._jit_cache[cache_key] = self._jit(run, batch_size=amount)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))
 
@@ -355,6 +365,6 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
                 z = unconditional_sampler(key, score_fn, self.sde, shape, **kw)
                 return tuple(self._decode_grid(mod_vars, z))
 
-            self._jit_cache[cache_key] = self._jit(run)
+            self._jit_cache[cache_key] = self._jit(run, batch_size=amount)
         return list(self._jit_cache[cache_key](
             key, self.score_params, self._mod_vars))

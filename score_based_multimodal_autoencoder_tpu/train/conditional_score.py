@@ -245,10 +245,11 @@ def train_cond_score_model(
     from ..utils.logging import MetricsLogger
     from .checkpoints import CheckpointManager
     from .lr import adam_with_mutable_lr
-    from .trainer import _dp_shardings, _mean_of, _put_batch, _replicate, \
+    from ..parallel import dp_shardings, put_batch, replicate_tree
+    from .trainer import _mean_of, \
         _weighted_mean
 
-    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
+    rep, batch_sh = dp_shardings(mesh, modality_major=False)
     key = jax.random.key(seed + 700)
     val_key = jax.random.key(seed + 7919)
     logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
@@ -293,9 +294,9 @@ def train_cond_score_model(
         opt_state = mgr.restore_opt(opt_state)
         print(f"resumed cond score from epoch {start_epoch}", flush=True)
 
-    params = _replicate(params, rep)
-    opt_state = _replicate(opt_state, rep)
-    ema = _replicate(ema, rep)
+    params = replicate_tree(params, rep)
+    opt_state = replicate_tree(opt_state, rep)
+    ema = replicate_tree(ema, rep)
 
     step = jax.jit(make_cond_score_train_step(
         score_model, sde, encoder, rep_encoder, tx, n_mod=n_mod,
@@ -326,7 +327,7 @@ def train_cond_score_model(
         for i in range(0, n_val, batch_size):
             idx = np.arange(i, min(i + batch_size, n_val))
             vkey, sub = jax.random.split(vkey)
-            vb = _put_batch(gather_val(idx), batch_sh, axis=0)
+            vb = put_batch(gather_val(idx), batch_sh, axis=0)
             vals.append(val_step(params, vb, sub))
             weights.append(len(idx))
         return _weighted_mean(vals, weights)
@@ -345,7 +346,7 @@ def train_cond_score_model(
         t0, losses = time.time(), []
         for idx in it.epoch():
             key, sub = jax.random.split(key)
-            batch = _put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
+            batch = put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
             params, opt_state, ema, loss = step(
                 params, opt_state, ema, batch, sub)
             losses.append(loss)

@@ -77,12 +77,12 @@ def train_refiner(
         opt_state = mgr.restore_opt(opt_state)
         _log(f"resumed refiner from epoch {start_epoch}")
 
-    from .trainer import _dp_shardings, _put_batch, _replicate
+    from ..parallel import dp_shardings, put_batch, replicate_tree
 
-    rep, batch_sh = _dp_shardings(mesh, modality_major=False)
-    params = _replicate(params, rep)
-    opt_state = _replicate(opt_state, rep)
-    vae_variables = _replicate(vae_variables, rep)
+    rep, batch_sh = dp_shardings(mesh, modality_major=False)
+    params = replicate_tree(params, rep)
+    opt_state = replicate_tree(opt_state, rep)
+    vae_variables = replicate_tree(vae_variables, rep)
 
     def denoise_fn_of(params):
         def fn(x_and_cond, t):
@@ -127,7 +127,7 @@ def train_refiner(
             return None
         vals, weights, vkey = [], [], val_key
         for i in range(0, images_val.shape[0], batch_size):
-            vb = _put_batch(jnp.asarray(to_float01(
+            vb = put_batch(jnp.asarray(to_float01(
                 images_val[i:i + batch_size])), batch_sh, axis=0)
             vkey, sub = jax.random.split(vkey)
             vals.append(val_step(params, vae_variables, vb, sub))
@@ -139,7 +139,7 @@ def train_refiner(
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
         for idx in it.epoch():
-            batch = _put_batch(jnp.asarray(to_float01(
+            batch = put_batch(jnp.asarray(to_float01(
                 images_train[np.asarray(idx)])), batch_sh, axis=0)
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, vae_variables,

@@ -47,38 +47,14 @@ def _restore_key(raw_key):
     return jax.random.wrap_key_data(jnp.asarray(raw_key))
 
 
-def _dp_shardings(mesh, modality_major: bool):
-    """(replicated, batch) shardings for data-parallel training.
-
-    ``mesh`` None = single-device path (both None). Batch axis is sharded
-    over the mesh's 'data' axis: axis 1 for modality-major (n_mod, B, ...)
-    stacks, axis 0 otherwise. Params/opt state stay replicated (SURVEY.md
-    §2.8: models are <100M params, TP/PP deliberately out of scope).
-    """
-    if mesh is None:
-        return None, None
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    spec = P(None, "data") if modality_major else P("data")
-    return NamedSharding(mesh, P()), NamedSharding(mesh, spec)
-
-
-def _replicate(tree, rep):
-    if rep is None:
-        return tree
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
-
-
-def _put_batch(tree, sharding, axis: int):
-    """Device-put a batch pytree sharded on ``axis`` when the DP mesh
-    divides it (remainder val batches fall back to replicated placement)."""
-    if sharding is not None:
-        n = sharding.mesh.shape["data"]
-        leaves = jax.tree_util.tree_leaves(tree)
-        if all(leaf.shape[axis] % n == 0 for leaf in leaves):
-            return jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, sharding), tree)
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+# DP-wiring helpers live in parallel.mesh (public: dp_shardings /
+# replicate_tree / put_batch / mesh_from_flag); these aliases keep this
+# module's historical import surface working.
+from ..parallel.mesh import (  # noqa: E402
+    dp_shardings as _dp_shardings,
+    put_batch as _put_batch,
+    replicate_tree as _replicate,
+)
 
 
 def _mean_of(device_scalars) -> float:
