@@ -179,6 +179,13 @@ def main():
 
     key = jax.random.key(args.seed)
 
+    if args.ebm_ckpt and args.track == "ae":
+        # The annealed pipeline pops score_transform (guidance hooks into
+        # the reverse-SDE drift only): running the sweep would print
+        # "guided" rows from the identical unguided program.
+        raise SystemExit("--ebm-ckpt guidance requires the SDE track "
+                         "(--track sde); the annealed AE sampler has no "
+                         "score_transform hook")
     if args.ebm_ckpt and args.predicted:
         # Guidance-scale sweep over the conditional protocol.
         from itertools import combinations

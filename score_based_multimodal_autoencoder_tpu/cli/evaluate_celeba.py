@@ -117,12 +117,7 @@ def main():
 
         feature_fn = make_inception_feature_fn(args.inception_weights)
     elif args.fid == "proxy":
-        # Pixel-moment proxy features (the cli.evaluate smoke fallback).
-        def feature_fn(x):
-            f = x.reshape(x.shape[0], -1)
-            return jnp.concatenate(
-                [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
-                 f[:, ::max(1, f.shape[1] // 64)]], -1)
+        from ..eval.fid import proxy_feature_fn as feature_fn
 
     from ..parallel import mesh_from_flag
 

@@ -209,11 +209,7 @@ def main():
 
             feature_fn = make_inception_feature_fn(args.inception_weights)
         else:
-            def feature_fn(x):  # pixel-moment proxy features (CI-sized)
-                f = x.reshape(x.shape[0], -1)
-                return jnp.concatenate(
-                    [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
-                     f[:, ::max(1, f.shape[1] // 64)]], -1)
+            from ..eval.fid import proxy_feature_fn as feature_fn
         amt = min(args.eval_amount, eval_pixels.shape[1])
         ep = jnp.asarray(to_float01(eval_pixels[:, :amt]))
         el = jnp.asarray(eval_labels[:amt])

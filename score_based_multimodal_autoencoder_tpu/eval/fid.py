@@ -45,6 +45,17 @@ class ParamFeatureFn:
         return self.apply_fn(self.params, images)
 
 
+def proxy_feature_fn(x):
+    """Cheap pixel-moment features for smoke-test FID (per-image mean/var +
+    a 64-ish pixel stride sample) - shared by cli.train_score's in-training
+    eval fallback and evaluate_celeba --fid proxy. Relative comparisons
+    only; NOT Inception-comparable."""
+    f = x.reshape(x.shape[0], -1)
+    return jnp.concatenate(
+        [f.mean(-1, keepdims=True), f.var(-1, keepdims=True),
+         f[:, ::max(1, f.shape[1] // 64)]], -1)
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted(feature_fn: Callable, n_shards: int):
     # jit's own cache is keyed by function identity; hoisting here keeps

@@ -82,7 +82,11 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=32,
     """(B, N, 3*heads*dim_head) channel-contiguous qkv -> (B, N, hidden).
 
     Matches the values of the XLA composition in ``nn.blocks.LinearAttention``
-    exactly (same split convention, f32 softmaxes, q scaled by d^-0.5).
+    for f32 modules (same split convention, f32 softmaxes, q scaled by
+    d^-0.5). For bf16 modules the XLA path downcasts the softmaxed q/k to
+    the module dtype before its einsums while this kernel contracts in f32
+    throughout, so outputs differ by bf16 rounding (~1e-2 rel) - this
+    kernel is the HIGHER-precision side of that gap.
     """
     if not _HAS_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")

@@ -247,13 +247,15 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
 
         mask = tuple(bool(b) for b in observed_mask)
         er, c = self._grid(sum(mask))
-        kw = dict(sigma_max=self.sigma_max, sigma_min=self.sigma_min,
-                  n_levels=self.n_levels, iter_num=self.iter_num,
-                  **{k: v for k, v in overrides.items()
-                     if k in ("er", "c", "iter_num", "sigma_max",
-                              "sigma_min", "n_levels")})
-        kw.setdefault("er", er)
-        kw.setdefault("c", c)
+        # dict.update, NOT dict(key=..., **overrides): four of the six
+        # whitelisted keys are also explicit kwargs and would raise
+        # "got multiple values" as a literal-splat collision.
+        kw = dict(er=er, c=c, sigma_max=self.sigma_max,
+                  sigma_min=self.sigma_min, n_levels=self.n_levels,
+                  iter_num=self.iter_num)
+        kw.update({k: v for k, v in overrides.items()
+                   if k in ("er", "c", "iter_num", "sigma_max",
+                            "sigma_min", "n_levels")})
         cache_key = ("ann_cond", mask, self.track, tuple(
             (k, tuple(np.ravel(v).tolist()) if hasattr(v, "shape")
              else v) for k, v in sorted(kw.items())))
@@ -284,8 +286,14 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
         kw = dict(er=er, c=c, sigma_max=self.sigma_max,
                   sigma_min=self.sigma_min, n_levels=self.n_levels,
                   iter_num=self.iter_num)
-        cache_key = ("ann_uncond", amount, self.track, self.iter_num,
-                     self.n_levels)
+        # Same override whitelist as sample_conditional (previously
+        # **overrides was accepted but silently ignored here).
+        kw.update({k: v for k, v in overrides.items()
+                   if k in ("er", "c", "iter_num", "sigma_max",
+                            "sigma_min", "n_levels")})
+        cache_key = ("ann_uncond", amount, self.track, tuple(
+            (k, tuple(np.ravel(v).tolist()) if hasattr(v, "shape")
+             else v) for k, v in sorted(kw.items())))
         if cache_key not in self._jit_cache:
 
             def run(key, score_params, mod_vars):

@@ -386,11 +386,26 @@ def train_score_model(
 
     pipeline = None
     if sample_every or (eval_every and eval_fn):
-        from ..pipeline import SBMAEPipeline
+        if ncsn_sigmas is not None:
+            # AE/NCSN track: the net is conditioned on sigma-level INDICES,
+            # not continuous SDE time - in-training sampling/eval must go
+            # through the annealed-Langevin pipeline or the grids/metrics
+            # are silently garbage (gen_ae, fid_upd10.py:56-110).
+            from ..pipeline import AnnealedSBMAEPipeline
 
-        pipeline = SBMAEPipeline(
-            fleet=fleet, fleet_state=fleet_state, score_model=score_model,
-            score_params=params, sde=sample_sde or sde, latent_hw=latent_hw)
+            pipeline = AnnealedSBMAEPipeline(
+                fleet=fleet, fleet_state=fleet_state, score_model=score_model,
+                score_params=params, sde=None, latent_hw=latent_hw,
+                sigma_max=float(ncsn_sigmas[0]),
+                sigma_min=float(ncsn_sigmas[-1]),
+                n_levels=len(ncsn_sigmas))
+        else:
+            from ..pipeline import SBMAEPipeline
+
+            pipeline = SBMAEPipeline(
+                fleet=fleet, fleet_state=fleet_state, score_model=score_model,
+                score_params=params, sde=sample_sde or sde,
+                latent_hw=latent_hw)
 
     def full_val_loss(params) -> Optional[float]:
         if pixels_val is None:
@@ -602,12 +617,24 @@ def train_het_score_model(
 
     pipeline = None
     if eval_every and eval_fn:
-        from ..pipeline_celeba import HeterogeneousPipeline
+        if ncsn_sigmas is not None:
+            # Index-conditioned NCSN net -> annealed pipeline (see the
+            # PolyMNIST trainer's hook above for the rationale).
+            from ..pipeline_celeba import AnnealedHeterogeneousPipeline
 
-        pipeline = HeterogeneousPipeline(
-            modalities=modalities, score_model=score_model,
-            score_params=params, sde=sde, latent_hw=latent_hw,
-            sampler_kwargs=sampler_kwargs or {})
+            pipeline = AnnealedHeterogeneousPipeline(
+                modalities=modalities, score_model=score_model,
+                score_params=params, sde=None, latent_hw=latent_hw,
+                sigma_max=float(ncsn_sigmas[0]),
+                sigma_min=float(ncsn_sigmas[-1]),
+                n_levels=len(ncsn_sigmas))
+        else:
+            from ..pipeline_celeba import HeterogeneousPipeline
+
+            pipeline = HeterogeneousPipeline(
+                modalities=modalities, score_model=score_model,
+                score_params=params, sde=sde, latent_hw=latent_hw,
+                sampler_kwargs=sampler_kwargs or {})
 
     it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
     history = []
