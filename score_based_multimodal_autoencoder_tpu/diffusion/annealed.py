@@ -48,7 +48,10 @@ def annealed_langevin_sampler(
         the reference's per-modality tuned grids
         (eval_lat_celeba_hq_all.py:498-513, applied per channel at :273-276).
     """
-    sigmas = jnp.linspace(sigma_max, sigma_min, n_levels)
+    # Build the grid in the carry's dtype: f32 constants would promote the
+    # scan carry and crash fori_loop/scan for bf16 x_init.
+    sigmas = jnp.linspace(sigma_max, sigma_min, n_levels,
+                          dtype=x_init.dtype)
     mask = jnp.asarray(predicted_mask)
     er = jnp.asarray(er, x_init.dtype)
     c = jnp.asarray(c, x_init.dtype)
@@ -102,10 +105,16 @@ def plain_langevin_sampler(
         key, nkey = jax.random.split(key)
         s = score_fn(z)
         noise = jax.random.normal(nkey, z.shape, z.dtype)
-        scale = lr1 * ((i + 1) / n_comp) if schedule else lr1
+        ramp = ((i + 1).astype(z.dtype) / n_comp)  # z-dtype: keep carry stable
+        scale = lr1 * ramp if schedule else lr1
         z_new = z + scale * s + lr2 * noise
         if schedule:
-            extra = z_new + 1.0 * ((i + 1) / n_comp) * score_fn(z_new) + lr2 * noise
+            # Final full-strength extra step (fid_upd10.py:288-290): the
+            # SAME sm_out (score at the pre-update z, not recomputed) with
+            # a FRESH noise draw; factor 1 * (n_comp/n_comp) = 1.
+            key, ekey = jax.random.split(key)
+            extra_noise = jax.random.normal(ekey, z.shape, z.dtype)
+            extra = z_new + ramp * s + lr2 * extra_noise
             z_new = jnp.where(i == n_comp - 1, extra, z_new)
         return (jnp.where(mask, z_new, z), key), None
 

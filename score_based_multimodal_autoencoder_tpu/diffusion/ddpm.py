@@ -66,9 +66,16 @@ def ddpm_refiner_loss(key, denoise_fn, schedule: DDPMSchedule, x0, cond):
 def ddpm_refiner_sample(key, denoise_fn, schedule: DDPMSchedule, cond, shape):
     """Ancestral sampling conditioned on ``cond``; returns x0 in [-1, 1]
     (train_celeba_diffvae.py:181-204)."""
-    tab = schedule.tables()
+    dtype = jnp.asarray(cond).dtype
+    # Schedule tables are computed in f32 (a bf16 cumprod over 1000 alphas
+    # loses the tail), then the coefficients are cast to the compute dtype
+    # so the scan carry stays in cond's dtype - a hardcoded f32 draw +
+    # f32 tables used to silently promote a bf16 refiner's whole
+    # 1000-step chain to f32.
+    tab = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                 schedule.tables())
     init_key, scan_key = jax.random.split(key)
-    x = jax.random.normal(init_key, shape)
+    x = jax.random.normal(init_key, shape, dtype)
     B = shape[0]
 
     def step(carry, t):

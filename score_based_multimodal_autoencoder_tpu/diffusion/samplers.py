@@ -184,7 +184,12 @@ def conditional_sampler(
     B = x_obs.shape[0]
     mask = jnp.asarray(observed_mask)  # (C,) broadcasts over (B,H,W,C)
     init_key, scan_key = jax.random.split(key)
-    x0 = jnp.where(mask, x_obs, jax.random.normal(init_key, x_obs.shape, x_obs.dtype))
+    # Unobserved channels start from the SDE's t=T prior (sigma_max-scaled
+    # for VESDE; N(0,1) for VP/sub-VP) - a raw normal here would start the
+    # reverse-VE chain ~sigma_max off its marginal. Mirrors
+    # unconditional_sampler's prior_sampling use.
+    prior = sde.prior_sampling(init_key, x_obs.shape).astype(x_obs.dtype)
+    x0 = jnp.where(mask, x_obs, prior)
     timesteps = jnp.linspace(sde.T, eps, sde.N, dtype=x_obs.dtype)
 
     def step(carry, t):

@@ -107,7 +107,10 @@ class VPSDE(SDE):
 
     def _discrete_beta_alpha(self, t):
         # Closed form of the reference's cached tables
-        # (linspace(beta_0/N, beta_1/N, N) indexed at round(t*(N-1)/T)).
+        # (linspace(beta_0/N, beta_1/N, N) indexed at (t*(N-1)/T).long() -
+        # torch TRUNCATION, i.e. floor for positive t; do not "fix" this to
+        # round() or the table lookups diverge from sde_helper2.py for all
+        # off-grid t).
         timestep = jnp.floor(t * (self.N - 1) / self.T).astype(jnp.int32)
         frac = timestep.astype(t.dtype) / (self.N - 1)
         beta = (self.beta_0 + frac * (self.beta_1 - self.beta_0)) / self.N
@@ -178,6 +181,18 @@ class VESDE(SDE):
     sigma_min: float = struct.field(pytree_node=False, default=0.01)
     sigma_max: float = struct.field(pytree_node=False, default=50.0)
     N: int = struct.field(pytree_node=False, default=1000)
+
+    # The reference VESDE aliases beta_0/beta_1 to the sigma range
+    # (sde_helper2.py sets self.beta_0 = sigma_min, self.beta_1 =
+    # sigma_max) so VP-style importance-sampling code paths run unchanged
+    # (losses.dsm_loss importance branch, ebm.nce.perturb_vp).
+    @property
+    def beta_0(self):
+        return self.sigma_min
+
+    @property
+    def beta_1(self):
+        return self.sigma_max
 
     def sigma(self, t):
         return self.sigma_min * (self.sigma_max / self.sigma_min) ** t

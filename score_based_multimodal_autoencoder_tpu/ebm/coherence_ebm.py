@@ -40,9 +40,18 @@ class PairwiseCoherenceEBM(nn.Module):
     def __call__(self, z_pair, t, mod1, mod2):
         B = z_pair.shape[0]
         temb = SinusoidalTimeEmbedding(self.time_dim)(t).astype(self.dtype)
-        mod_embed = nn.Embed(self.n_mod, self.time_dim, dtype=self.dtype,
-                             name="mod_embed")
-        pair_emb = mod_embed(jnp.asarray(mod1)) + mod_embed(jnp.asarray(mod2))
+        # Per-SLOT embeddings: the conditioning must be order-SENSITIVE -
+        # z_pair's first block holds mod1's latent and the second mod2's,
+        # and training draws unordered pairs (cli/train_ebm.py random
+        # permutation, matching the reference's unsorted randperm), so a
+        # shared summed embedding would force (0,1)-layout [z0|z1] and
+        # (1,0)-layout [z1|z0] onto the same conditioning vector. The
+        # reference ClwithTime call sites pass ordered mod1/mod2 ints.
+        slot1 = nn.Embed(self.n_mod, self.time_dim, dtype=self.dtype,
+                         name="mod_embed")
+        slot2 = nn.Embed(self.n_mod, self.time_dim, dtype=self.dtype,
+                         name="mod_embed2")
+        pair_emb = slot1(jnp.asarray(mod1)) + slot2(jnp.asarray(mod2))
         h = jnp.concatenate(
             [z_pair.reshape(B, -1).astype(self.dtype),
              jnp.broadcast_to(pair_emb, (B, self.time_dim))], axis=-1)
