@@ -118,8 +118,14 @@ def mopoe_cond_select(rep_key, sel_key, mus, logvars, present, batch_size,
     logits = jnp.where(within, 0.0, -jnp.inf)
     n_within = within.sum()
     sample_len_eff = jnp.minimum(jnp.minimum(sample_len, n_within), batch_size)
-    choice = jax.random.categorical(
-        sel_key, jnp.broadcast_to(logits, (batch_size, S)), axis=-1)
+    # WITHOUT replacement, like the reference's randperm over the
+    # within-subsets (mopoe_model.py:404-410) and stratified_select above:
+    # Gumbel-top-k over the uniform within-logits yields min(sample_len, S)
+    # DISTINCT subsets (k is static; entries past n_within carry -inf
+    # logits and are never reachable through the clamped block index).
+    k = min(sample_len, S)
+    gumbel = jax.random.gumbel(sel_key, (S,))
+    _, choice = jax.lax.top_k(logits + gumbel, k)  # (k,) distinct
     div = jnp.maximum(batch_size // jnp.maximum(sample_len_eff, 1), 1)
     block_owner = choice[jnp.minimum(
         jnp.arange(batch_size) // div, jnp.maximum(sample_len_eff - 1, 0))]

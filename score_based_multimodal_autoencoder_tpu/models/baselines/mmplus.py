@@ -88,7 +88,8 @@ class MMVAEPlus(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True}, axis_size=self.n_mod)
             s0 = max(1, self.size_in // 4)
-            self.encs = VEnc(self.size_in, self.dim_u, s0=s0, nf=self.nf,
+            self.encs = VEnc(self.size_in, self.dim_u,
+                             ndim_w=self.latent_dim_w, s0=s0, nf=self.nf,
                              nf_max=self.nf_max, dtype=self.dtype)
             self.decs = VDec(self.size_in, self.dim_u, self.img_ch, s0=s0,
                              nf=self.nf, nf_max=self.nf_max,

@@ -90,7 +90,12 @@ class MMPlusEncoder(nn.Module):
     happens in the MMVAE+ model, as upstream."""
 
     size_in: int
-    size_z: int  # = dim_u = ndim_w + ndim_z; split evenly like upstream
+    size_z: int  # = dim_u = ndim_w + ndim_z
+    # Private-w branch width. None = even split (the shipped w=z configs);
+    # MUST equal the model's latent_dim_w - the reference Enc takes ndim_w
+    # and ndim_z separately (h_vae_model_copy.py:829), and a mismatch
+    # silently misaligns the private/shared factorization downstream.
+    ndim_w: int = None
     s0: int = 8
     nf: int = 64
     nf_max: int = 1024
@@ -99,7 +104,7 @@ class MMPlusEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         nlayers = int(math.log2(self.size_in / self.s0))
-        ndim_w = self.size_z // 2
+        ndim_w = self.size_z // 2 if self.ndim_w is None else self.ndim_w
         ndim_z = self.size_z - ndim_w
         mu_w, lv_w = _Branch(ndim_w, nlayers, self.nf, self.nf_max,
                              self.dtype, name="branch_w")(x)
