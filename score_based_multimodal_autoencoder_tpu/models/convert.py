@@ -360,3 +360,125 @@ def load_torch_resvae(state_dict, enc_channel_list, dec_channel_list,
     params["dec"]["head_block"], stats["dec"]["head_block"] = p, s
     params["dec"]["head_conv"] = _conv(sd, "dec.ch_dec.1")
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Attribute VAE / AE (h_vae_model.py CelebAAttrNewBN*) -> models/vae.py
+# ---------------------------------------------------------------------------
+
+def load_torch_attr_vae(state_dict):
+    """Reference ``CelebAAttrNewBN`` / ``...AE`` / ``...AE40`` state_dict
+    (h_vae_model.py:712-962) -> ``models.vae.AttributeVAE`` variables.
+
+    The torch nets are Linear/BatchNorm1d/ReLU stacks (Linear at Sequential
+    index 3i, BN at 3i+1) with the decoder's output Linear at index 15. The
+    AE flavors drop ``logvar_lin`` (h_vae_model.py:862); its flax params are
+    zero-filled - the AE wrapper never reads them.
+    """
+    sd = dict(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for net in ("enc_net", "dec_net"):
+        p, s = {}, {}
+        for i in range(5):
+            p[f"fc{i}"] = _dense(sd, f"{net}.{3 * i}")
+            p[f"bn{i}"], s[f"bn{i}"] = _bn(sd, f"{net}.{3 * i + 1}")
+        params[net], stats[net] = p, s
+    params["mu_lin"] = _dense(sd, "mu_lin")
+    size_z = params["mu_lin"]["bias"].shape[0]
+    if "logvar_lin.weight" in sd:
+        params["logvar_lin"] = _dense(sd, "logvar_lin")
+    else:
+        params["logvar_lin"] = {"kernel": jnp.zeros((512, size_z)),
+                                "bias": jnp.zeros((size_z,))}
+    params["out_lin"] = _dense(sd, "dec_net.15")
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Evaluation classifiers (polymnist_model.py PMCLF, h_vae_model_copy.py
+# ResCLF / ClfImg) -> models/classifiers.py
+# ---------------------------------------------------------------------------
+
+def load_torch_pmclf(state_dict):
+    """Reference ``PMCLF`` state_dict (polymnist_model.py:372-392) ->
+    ``PolyMNISTClassifier`` params.
+
+    ``fc1`` consumes the flattened (128, 4, 4) conv map (NView at
+    clf_net.6): its input basis is permuted from torch's NCHW flatten order
+    to this repo's NHWC one.
+    """
+    sd = dict(state_dict)
+    params = {f"conv{i}": _conv(sd, f"clf_net.{2 * i}") for i in range(3)}
+    perm = _nchw_to_nhwc_in_perm(128, 4, 4)
+    w = _np(sd["clf_net.7.weight"])  # (512, 2048)
+    params["fc1"] = {"kernel": jnp.asarray(w[:, perm].T),
+                     "bias": jnp.asarray(_np(sd["clf_net.7.bias"]))}
+    params["fc2"] = _dense(sd, "clf_net.9")
+    return params
+
+
+def load_torch_resclf(state_dict, channel_list, size_in: int = 128):
+    """Reference ``ResCLF`` state_dict (h_vae_model_copy.py:208-235) ->
+    ``ResClassifier`` variables ({"params", "batch_stats"})."""
+    sd = dict(state_dict)
+    params: dict = {"stem_conv": _conv(sd, "ch_enc.0")}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "ch_enc.1")
+    for i, (cin, mid, out, rate) in enumerate(channel_list):
+        p, s = _rblock(sd, f"r_blocks.{i}")
+        if cin != out:
+            p["size_conv"] = _conv(sd, f"r_blocks.{i}.size_conv", bias=False)
+        params[f"block{i}"], stats[f"block{i}"] = p, s
+    feat = size_in // 2
+    for _, _, _, rate in channel_list:
+        feat //= rate
+    perm = _nchw_to_nhwc_in_perm(channel_list[-1][2], feat, feat)
+    w = _np(sd["clf_lin.weight"])
+    params["clf_lin"] = {"kernel": jnp.asarray(w[:, perm].T),
+                         "bias": jnp.asarray(_np(sd["clf_lin.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_mopoe_clf(state_dict):
+    """Reference ``ClfImg`` (+ ``FeatureExtractorImg``) state_dict
+    (h_vae_model_copy.py:296-342) -> ``MoPoEImageClassifier`` variables.
+
+    The final feature map is 1x1 spatial, so the flatten basis needs no
+    NCHW/NHWC permutation.
+    """
+    sd = dict(state_dict)
+    fx = "feature_extractor"
+    params: dict = {"conv1": _conv(sd, f"{fx}.conv1", bias=False),
+                    "linear": _dense(sd, "linear")}
+    stats: dict = {}
+    for i in range(1, 5):
+        prefix = f"{fx}.resblock{i}.0"
+        p = {"conv1": _conv(sd, f"{prefix}.conv1", bias=False),
+             "conv2": _conv(sd, f"{prefix}.conv2", bias=False),
+             "down_conv": _conv(sd, f"{prefix}.downsample.0")}
+        s = {}
+        p["bn1"], s["bn1"] = _bn(sd, f"{prefix}.bn1")
+        p["bn2"], s["bn2"] = _bn(sd, f"{prefix}.bn2")
+        p["down_bn"], s["down_bn"] = _bn(sd, f"{prefix}.downsample.1")
+        params[f"resblock{i}"], stats[f"resblock{i}"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Flat MLP score nets (lat_sm2_model.py LSMPoly64_sm / Poly_sm*) ->
+# nn/mlp_scores.py FlatScoreMLP
+# ---------------------------------------------------------------------------
+
+def load_torch_flat_score(state_dict):
+    """Reference Linear/Softplus score-MLP state_dict (``LSMPoly64_sm``
+    lat_sm2_model.py:348-371, ``Poly_sm``/``Poly_sm2`` :248-296) ->
+    ``FlatScoreMLP`` params. Hidden-layer count is inferred from the keys;
+    the flax module's ``hidden_mults`` must match the torch widths."""
+    sd = dict(state_dict)
+    n_layers = sum(1 for k in sd if k.startswith("layers.") and
+                   k.endswith(".weight"))
+    params = {f"fc{i}": _dense(sd, f"layers.{2 * i}")
+              for i in range(n_layers - 1)}
+    params["out"] = _dense(sd, f"layers.{2 * (n_layers - 1)}")
+    return params

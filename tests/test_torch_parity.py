@@ -319,3 +319,163 @@ def test_resvaen_celeb_parity():
         out_t = tvae.decoder(z)
     out_f = fvae.apply(variables, jnp.asarray(z.numpy()), method=fvae.decoder)
     _assert_close(out_f, out_t)
+
+
+def test_attr_vae_parity():
+    """Reference CelebAAttrNewBN (h_vae_model.py:712-779) ==
+    models.vae.AttributeVAE after conversion: encoder (mu, logvar) and
+    decoder logits, eval-mode BatchNorm1d."""
+    import h_vae_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models import AttributeVAE
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_attr_vae,
+    )
+
+    torch.manual_seed(5)
+    tnet = ref.CelebAAttrNewBN(size_z=24, att_size=18).eval()
+    fnet = AttributeVAE(size_z=24, att_size=18)
+    variables = load_torch_attr_vae(tnet.state_dict())
+
+    x = (torch.rand(4, 18) > 0.5).float()
+    with torch.no_grad():
+        mu_t, logvar_t = tnet.encoder(x)
+    mu_f, logvar_f = fnet.apply(variables, jnp.asarray(x.numpy()),
+                                method=fnet.encoder)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar_f), logvar_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    z = torch.randn(4, 24)
+    with torch.no_grad():
+        out_t = tnet.decoder(z)
+    out_f = fnet.apply(variables, jnp.asarray(z.numpy()), method=fnet.decoder)
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_attr_ae_parity():
+    """Reference CelebAAttrNewBNAE (h_vae_model.py:839-899; no logvar head)
+    converts through the same path; encoder mu + decoder match."""
+    import h_vae_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models import AttributeVAE
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_attr_vae,
+    )
+
+    torch.manual_seed(6)
+    tnet = ref.CelebAAttrNewBNAE(size_z=24).eval()
+    fnet = AttributeVAE(size_z=24, att_size=18)
+    variables = load_torch_attr_vae(tnet.state_dict())
+
+    x = (torch.rand(4, 18) > 0.5).float()
+    with torch.no_grad():
+        mu_t = tnet.encoder(x)
+        out_t = tnet.decoder(mu_t)
+    mu_f, _ = fnet.apply(variables, jnp.asarray(x.numpy()),
+                         method=fnet.encoder)
+    out_f = fnet.apply(variables, mu_f, method=fnet.decoder)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pmclf_parity():
+    """Reference PMCLF (polymnist_model.py:372-392) == PolyMNISTClassifier
+    after conversion (incl. the NCHW->NHWC fc1 basis permutation)."""
+    import polymnist_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models import (
+        PolyMNISTClassifier,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_pmclf,
+    )
+
+    torch.manual_seed(7)
+    tnet = ref.PMCLF().eval()
+    params = load_torch_pmclf(tnet.state_dict())
+
+    x = torch.rand(3, 3, 28, 28)
+    with torch.no_grad():
+        out_t = tnet(x)
+    out_f = PolyMNISTClassifier().apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_resclf_parity():
+    """Reference ResCLF (h_vae_model_copy.py:208-235) == ResClassifier
+    after conversion (the FGSM adversarial-eval target)."""
+    import h_vae_model_copy as ref
+
+    from score_based_multimodal_autoencoder_tpu.models import ResClassifier
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_resclf,
+    )
+
+    torch.manual_seed(8)
+    channel_list = [(8, 16, 16, 2), (16, 32, 32, 2)]
+    tnet = ref.ResCLF(channel_list, size_in=32, size_out=18, img_ch=3).eval()
+    variables = load_torch_resclf(tnet.state_dict(), channel_list, size_in=32)
+
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        out_t = tnet(x)
+    out_f = ResClassifier(tuple(map(tuple, channel_list)),
+                          size_out=18).apply(variables, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_mopoe_clf_parity():
+    """Reference ClfImg (h_vae_model_copy.py:327-342; weighted-residual
+    FeatureExtractorImg) == MoPoEImageClassifier after conversion on 64x64
+    inputs."""
+    import h_vae_model_copy as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.classifiers import (
+        MoPoEImageClassifier,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mopoe_clf,
+    )
+
+    torch.manual_seed(9)
+    tnet = ref.ClfImg().eval()
+    variables = load_torch_mopoe_clf(tnet.state_dict())
+
+    x = torch.rand(2, 3, 64, 64)
+    with torch.no_grad():
+        out_t = tnet(x)
+    out_f = MoPoEImageClassifier().apply(variables, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_flat_score_mlp_parity():
+    """Reference LSMPoly64_sm (lat_sm2_model.py:348-371) == FlatScoreMLP
+    after conversion (the annealed-Langevin eval score net)."""
+    import lat_sm2_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.nn.mlp_scores import (
+        FlatScoreMLP,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_flat_score,
+    )
+
+    torch.manual_seed(10)
+    tnet = ref.LSMPoly64_sm(n_mod=2, size_z=16).eval()
+    params = load_torch_flat_score(tnet.state_dict())
+
+    x = torch.randn(4, 32)
+    with torch.no_grad():
+        out_t = tnet(x)
+    out_f = FlatScoreMLP(hidden_mults=(2, 6, 6, 4, 2, 1)).apply(
+        {"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
