@@ -26,19 +26,36 @@ from .vae import ResBlock
 
 
 class PolyMNISTClassifier(nn.Module):
-    """conv(3->32,s2) conv(32->64,s2) conv(64->128,s2) -> MLP(2048,512,10)."""
+    """conv(3->32,s2) conv(32->64,s2) conv(64->128,s2) -> MLP(2048,512,10).
+
+    ``dropout > 0`` + ``batch_norm=True`` gives the PTRCLF variant
+    (polymnist_model.py:394-422): conv -> channel dropout -> BN -> ReLU per
+    stage and an extra dropout before fc1's ReLU."""
 
     num_classes: int = 10
+    dropout: float = 0.0
+    batch_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i, ch in enumerate((32, 64, 128)):
             x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
                         name=f"conv{i}")(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train,
+                               broadcast_dims=(1, 2),
+                               rng_collection="dropout")(x)
+            if self.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(x))
+        x = nn.Dense(512, dtype=self.dtype, name="fc1")(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train,
+                           rng_collection="dropout")(x)
+        x = nn.relu(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
 
 

@@ -206,6 +206,12 @@ class ResVAE(nn.Module):
             act, stem_act, up_mode, sig = "leaky_relu_0.2", "leaky_relu_0.2", "nearest", False
         elif self.variant == "celeb":
             act, stem_act, up_mode, sig = "gelu", "leaky_relu_0.1", "bilinear", True
+        elif self.variant == "soft":
+            # ResVAESoft (h_vae_model_copy.py:506-546): poly-style LeakyReLU
+            # blocks + nearest upsample with a Sigmoid output head
+            # (ResDecoderSoft :430-455). Legacy variant, unreachable in the
+            # shipped reference configs.
+            act, stem_act, up_mode, sig = "leaky_relu_0.2", "leaky_relu_0.2", "nearest", True
         else:
             raise ValueError(self.variant)
         self.enc = ResEncoder(

@@ -23,6 +23,9 @@ grid and refined by the latent UNet. Also covers:
   ``CrossAttentionUNet`` below.
 - ``UnetVAE`` (unet_model.py:1137-1256): denoiser conditioned on the VAE
   reconstruction by channel-concat -> ``ReconCondUNet``.
+- ``CRA`` (unet_model.py:807-853): dual-stream (q from one projection,
+  k/v from another) unmasked cross-attention feeding the UNet ->
+  ``DualStreamCrossAttentionUNet``.
 - ``SM3simple`` (unet_model.py:1257-1278) is ``FlatScoreMLP(x) / sigma``
   (nn/mlp_scores.py) - not duplicated.
 
@@ -290,3 +293,52 @@ class SigmaNormalizedUNet(nn.Module):
             with_time_emb=False, dtype=self.dtype, name="unet",
         )(x, None)
         return out / sigma.reshape(-1, *([1] * (x.ndim - 1)))
+
+
+class DualStreamCrossAttentionUNet(nn.Module):
+    """CRA (unet_model.py:807-853): the modality tokens are projected by two
+    independent residual MLPs (Lin3 ``clin1``/``clin2``); QUERIES come from
+    stream 1 and KEYS/VALUES from stream 2 (unmasked - the reference builds
+    a 1-I mask but never applies it in forward), the attended tokens are
+    o-projected, reshaped to a (grid_h, grid_w) map with one channel per
+    modality, and refined by the time-conditioned latent UNet. Returns
+    (B, n_mod, z_dim) tokens like the reference.
+
+    Reference quirk kept: the UNet width reuses ``grid_h`` (CRA passes its
+    ``dim`` both to ``Unet(dim, ...)`` and to the ``values.view(...,
+    self.dim, self.dim2)`` reshape); override ``unet_dim`` to decouple.
+    """
+
+    n_mod: int
+    z_dim: int
+    grid_h: int
+    grid_w: int
+    unet_dim: int | None = None
+    dim_mults: Sequence[int] = (1, 2, 2, 2)
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time=None):
+        # x: (B, n_mod, z_dim) tokens.
+        B, S, Z = x.shape
+        assert S == self.n_mod and Z == self.z_dim
+        assert self.grid_h * self.grid_w == self.z_dim
+        x1 = ResidualLin(dtype=self.dtype, name="clin1")(x)
+        x2 = ResidualLin(dtype=self.dtype, name="clin2")(x)
+        d = Z // self.num_heads
+        q = nn.Dense(3 * Z, dtype=self.dtype, name="qkv1")(x1)
+        kv = nn.Dense(3 * Z, dtype=self.dtype, name="qkv2")(x2)
+        q = jnp.split(q.reshape(B, S, self.num_heads, 3 * d), 3, axis=-1)[0]
+        _, k, v = jnp.split(kv.reshape(B, S, self.num_heads, 3 * d), 3, axis=-1)
+        logits = jnp.einsum("bshd,bthd->bhst", q, k) / math.sqrt(d)
+        attn = nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", attn, v).reshape(B, S, Z)
+        out = nn.Dense(Z, dtype=self.dtype, name="o_proj")(out)
+        grid = jnp.moveaxis(out.reshape(B, S, self.grid_h, self.grid_w), 1, -1)
+        grid = LatentUNet(
+            dim=self.unet_dim if self.unet_dim is not None else self.grid_h,
+            channels=self.n_mod, dim_mults=tuple(self.dim_mults),
+            dtype=self.dtype, name="unet",
+        )(grid, time)
+        return jnp.moveaxis(grid, -1, 1).reshape(B, S, Z)

@@ -147,3 +147,57 @@ def test_latent_unet_z_injection():
     assert out.shape == (2, 4, 4, 2)
     out2 = net.apply(params, x, t, z + 1.0)
     assert np.abs(np.array(out - out2)).max() > 1e-5
+
+
+def test_dual_stream_cross_attention_unet():
+    """CRA (unet_model.py:807-853): dual-stream cross attention -> UNet;
+    token shape preserved, q-stream and kv-stream both influence output."""
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        DualStreamCrossAttentionUNet,
+    )
+
+    net = DualStreamCrossAttentionUNet(n_mod=3, z_dim=16, grid_h=4, grid_w=4,
+                                       unet_dim=12, dim_mults=(1, 2))
+    x = jax.random.normal(jax.random.key(0), (2, 3, 16))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.key(1), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, 3, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_polymnist_classifier_ptrclf_variant():
+    """PTRCLF (polymnist_model.py:394-422): dropout + BN variant trains with
+    mutable batch stats and collapses to deterministic eval."""
+    from score_based_multimodal_autoencoder_tpu.models.classifiers import (
+        PolyMNISTClassifier,
+    )
+
+    clf = PolyMNISTClassifier(dropout=0.25, batch_norm=True)
+    x = jax.random.normal(jax.random.key(0), (4, 28, 28, 3))
+    variables = clf.init({"params": jax.random.key(1),
+                          "dropout": jax.random.key(2)}, x, train=True)
+    assert "batch_stats" in variables
+    out, mutated = clf.apply(variables, x, train=True,
+                             rngs={"dropout": jax.random.key(3)},
+                             mutable=["batch_stats"])
+    assert out.shape == (4, 10)
+    assert "batch_stats" in mutated
+    # Eval mode: deterministic (no dropout rng needed).
+    out_a = clf.apply(variables, x)
+    out_b = clf.apply(variables, x)
+    np.testing.assert_allclose(np.array(out_a), np.array(out_b))
+
+
+def test_resvae_soft_variant():
+    """ResVAESoft (h_vae_model_copy.py:506-546): poly-style blocks with a
+    sigmoid output head."""
+    from score_based_multimodal_autoencoder_tpu.models import ResVAE
+
+    vae = ResVAE(((4, 8, 8, 2),), ((8, 8, 4, 2),), size_in=8, size_z=8,
+                 img_ch=3, variant="soft")
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    variables = vae.init(jax.random.key(1), x)
+    out, mu, logvar = vae.apply(variables, x)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
