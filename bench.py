@@ -5,10 +5,12 @@ Two workloads, both fused whole-trajectory ``lax.scan`` programs:
 - **PolyMNIST flagship** (headline): latent score UNet, reference config
   dim=128 / channels=10 / dim_mults (1,2,2,2) on 8x8 grids, N=100 EM steps
   (/root/reference/train_poly_unet_cont.py:567-572). The reported ``value``
-  is the COMPILE-STABLE TPU preset (128-wide stem + MXU depthwise,
-  ScoreConfig.polymnist_tpu) at batch 1024 - the reference-architecture
+  is the shipped TPU sampling preset (128-wide stem + MXU depthwise +
+  fused Pallas linear attention on the >=64-position levels,
+  ScoreConfig.polymnist_tpu sample flavor) at batch 1024 - compile-stable
+  (2118 samples/s reproduced across runs). The reference-architecture
   85-lane stem variant is faster on lucky compiles but flips 1461<->2003
-  samples/s between compiles (BASELINE.md), so it is logged, not reported.
+  samples/s between compiles (BASELINE.md), so it is not the headline.
 - **CelebA-HQ flagship**: dim=256 / channels=3 / mults (1,2,2,2,2) on 16x16
   grids, N=1000 EM steps - the reference's costliest loop
   (/root/reference/train_lat_celebhq_unet_cont2.py:287-307,470-472: 1000
@@ -333,15 +335,20 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": 0.0,
         "mfu": 0.0,
-        "config": "tpu128-b1024",
+        "config": "tpu128-pallas-b1024",
     }
 
-    # 1. Headline: the compile-stable PolyMNIST TPU preset
-    #    (ScoreConfig.polymnist_tpu: 128-wide stem + MXU depthwise), b1024.
+    # 1. Headline: the shipped PolyMNIST TPU sampling preset
+    #    (ScoreConfig.polymnist_tpu sample flavor: 128-wide stem + MXU
+    #    depthwise + fused Pallas linear attention on the >=64-position
+    #    levels), b1024. Compile-stable: 2118 samples/s reproduced across
+    #    runs (the Pallas kernel pins the attention layout, and the
+    #    persistent executable cache pins the rest).
     try:
         poly_tpu = Workload("poly-tpu", 128, 10, 8, (1, 2, 2, 2), 100,
-                            init_dim=128, mxu=True, approx_gelu=True)
-        m = poly_tpu.measure(1024, peak, "tpu128-b1024", reps=6,
+                            init_dim=128, mxu=True, pallas_attn=True,
+                            approx_gelu=True)
+        m = poly_tpu.measure(1024, peak, "tpu128-pallas-b1024", reps=6,
                              bake_params=True)
         result["value"] = round(m["sps"], 2)
         result["mfu"] = round(m["mfu"], 4)
@@ -363,11 +370,15 @@ def main():
     except Exception as e:
         log(f"baseline anchor FAILED: {e}")
 
-    # 2b. Training-step throughput on the headline model (jitted DSM
-    #     grad+update, b1024): the training-side fused-program number.
-    if poly_tpu is not None and left() > 300:
+    # 2b. Training-step throughput (jitted DSM grad+update, b1024) on the
+    #     TRAIN flavor of the preset: no Pallas attention (forward-only
+    #     kernel, no VJP) - exactly the model the trainers build.
+    if left() > 300:
         try:
-            tsec = poly_tpu.time_train_step(1024)
+            poly_train = Workload("poly-train", 128, 10, 8, (1, 2, 2, 2),
+                                  100, init_dim=128, mxu=True,
+                                  approx_gelu=True)
+            tsec = poly_train.time_train_step(1024)
             result["train_sps"] = round(1024 / tsec, 2)
             log(f"train-step (tpu128-b1024): {tsec*1e3:.1f} ms/step -> "
                 f"{1024/tsec:.0f} samples/s")
@@ -403,17 +414,18 @@ def main():
     # 4. Informative sweep points while budget allows (logged only).
     if poly_tpu is not None and left() > 300:
         try:
-            # Fused Pallas linear attention (ops/linear_attention.py):
-            # targets the ~105 ms/100-step layout copies around the
-            # attention einsums in the round-2 profile (BASELINE.md).
-            poly_pallas = Workload("poly-pallas", 128, 10, 8, (1, 2, 2, 2),
-                                   100, init_dim=128, mxu=True,
-                                   pallas_attn=True, approx_gelu=True)
-            m = poly_pallas.measure(1024, peak, "pallas-attn-b1024", reps=6,
-                                    bake_params=True)
-            result["pallas_attn_sps"] = round(m["sps"], 2)
+            # The same preset WITHOUT the Pallas attention kernel: isolates
+            # the kernel's contribution (it replaced the ~105 ms/100-step
+            # layout copies around the attention einsums seen in the
+            # round-2 profile, BASELINE.md).
+            poly_xla = Workload("poly-xla-attn", 128, 10, 8, (1, 2, 2, 2),
+                                100, init_dim=128, mxu=True,
+                                approx_gelu=True)
+            m = poly_xla.measure(1024, peak, "xla-attn-b1024", reps=6,
+                                 bake_params=True)
+            result["xla_attn_sps"] = round(m["sps"], 2)
         except Exception as e:
-            log(f"sweep pallas-attn FAILED: {e}")
+            log(f"sweep xla-attn FAILED: {e}")
     if poly_tpu is not None and left() > 300:
         try:
             ref_fused = poly_ref.measure(1024, peak, "ref-b1024",

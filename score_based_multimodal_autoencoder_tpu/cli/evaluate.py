@@ -108,7 +108,7 @@ def main():
     cfg_fn = (ScoreConfig.polymnist_tpu if args.tpu_preset
               else ScoreConfig.polymnist)
     score_cfg = cfg_fn(channels=args.n_mod, dim=args.dim)
-    model = score_cfg.build_model()
+    model = score_cfg.build_model(sample=True)
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 

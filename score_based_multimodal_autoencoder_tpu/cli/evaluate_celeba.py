@@ -188,13 +188,13 @@ def main():
             from ..pipeline_celeba import AnnealedHeterogeneousPipeline
 
             models["score"] = AnnealedHeterogeneousPipeline(
-                modalities=mods, score_model=score_cfg.build_model(),
+                modalities=mods, score_model=score_cfg.build_model(sample=True),
                 score_params=score["params"], sde=None, latent_hw=hw,
                 n_levels=args.sigma_levels, iter_num=args.iter_num,
                 track=args.track.split("-")[1], mesh=mesh)
         else:
             models["score"] = HeterogeneousPipeline(
-                modalities=mods, score_model=score_cfg.build_model(),
+                modalities=mods, score_model=score_cfg.build_model(sample=True),
                 score_params=score["params"],
                 sde=score_cfg.build_sde(sample=True), latent_hw=hw,
                 sampler_kwargs={"pc": args.pc, "noise_obs": args.noise_obs},

@@ -58,7 +58,7 @@ def main():
     fleet = VAEFleet(vae, args.n_mod, adam_with_mutable_lr(1e-3))
     fleet_state = CheckpointManager(args.vae_ckpt).restore_raw("last")
 
-    model = score_cfg.build_model()
+    model = score_cfg.build_model(sample=True)
     grid0 = jnp.zeros((1, score_cfg.latent_hw, score_cfg.latent_hw, args.n_mod))
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
 

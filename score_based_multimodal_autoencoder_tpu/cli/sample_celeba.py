@@ -80,7 +80,7 @@ def main():
     cfg_fn = (ScoreConfig.celebhq_tpu if args.tpu_preset
               else ScoreConfig.celebhq)
     score_cfg = cfg_fn(sample_n=args.sample_n)
-    score_model = score_cfg.build_model()
+    score_model = score_cfg.build_model(sample=True)
     score = CheckpointManager(args.score_ckpt).restore_raw("last")
     from ..parallel import mesh_from_flag
 

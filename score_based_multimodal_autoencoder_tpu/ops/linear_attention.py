@@ -77,7 +77,7 @@ def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head",
                                              "batch_tile", "interpret"))
-def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=32,
+def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
                            interpret=False):
     """(B, N, 3*heads*dim_head) channel-contiguous qkv -> (B, N, hidden).
 
@@ -87,13 +87,20 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=32,
     the module dtype before its einsums while this kernel contracts in f32
     throughout, so outputs differ by bf16 rounding (~1e-2 rel) - this
     kernel is the HIGHER-precision side of that gap.
+
+    ``batch_tile=None`` sizes the tile so bt*N ~ 2048 rows: the N=64 sweep
+    winner was bt=32 (2048 rows; >=128 overflowed VMEM/compile), and the
+    f32 working set must stay inside scoped VMEM at every N - a fixed
+    bt=32 at N=256 requested 41 MB against the 16 MB scoped limit
+    (measured on the celebhq level).
     """
     if not _HAS_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
     B, N, C = qkv.shape
     hidden = heads * dim_head
     assert C == 3 * hidden, (C, hidden)
-    bt = batch_tile
+    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
+    bt = min(bt, B)
     while B % bt:
         bt //= 2
     kernel = functools.partial(_linear_attn_kernel, heads=heads,

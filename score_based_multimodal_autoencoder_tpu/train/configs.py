@@ -100,6 +100,10 @@ class ScoreConfig:
     mxu_max_positions: int = 256
     # tanh-approx GELU (vs torch-exact erf): ~1.3x faster sampling on TPU.
     approx_gelu: bool = False
+    # Fused Pallas linear attention (ops/linear_attention.py) on the >=64
+    # position levels. Forward-only (no VJP): applied ONLY when
+    # build_model(sample=True) - trainers keep the differentiable XLA path.
+    pallas_linear_attn: bool = False
 
     @classmethod
     def polymnist(cls, **kw):
@@ -122,7 +126,8 @@ class ScoreConfig:
         samples/s in the sampling bench; max abs act diff ~1e-3)."""
         defaults = dict(preset="polymnist", dim=128, channels=10,
                         dim_mults=(1, 2, 2, 2), latent_hw=8, sample_n=100,
-                        init_dim=128, mxu_depthwise=True, approx_gelu=True)
+                        init_dim=128, mxu_depthwise=True, approx_gelu=True,
+                        pallas_linear_attn=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -138,7 +143,11 @@ class ScoreConfig:
     @classmethod
     def celebhq_tpu(cls, **kw):
         """CelebA flagship tuned for TPU (stem 170 -> 256, MXU depthwise
-        on the <=16x16 levels, tanh-approx GELU)."""
+        on the <=16x16 levels, tanh-approx GELU). The Pallas linear
+        attention is NOT enabled here: measured 16.8 vs 17.1 samples/s at
+        b256 (attention is a smaller fraction at dim=256, and the f32
+        kernel pays extra bandwidth at N=256 with the VMEM-bounded batch
+        tile) - it wins only on the PolyMNIST flagship."""
         defaults = dict(preset="celebhq", dim=256, channels=3,
                         dim_mults=(1, 2, 2, 2, 2), latent_hw=16,
                         sample_n=1000, init_dim=256, mxu_depthwise=True,
@@ -146,7 +155,10 @@ class ScoreConfig:
         defaults.update(kw)
         return cls(**defaults)
 
-    def build_model(self, dtype=None):
+    def build_model(self, dtype=None, sample: bool = False):
+        """``sample=True`` builds the SAMPLING flavor: identical params and
+        math, plus forward-only perf paths (the fused Pallas linear
+        attention has no VJP, so trainers must build with the default)."""
         import jax.numpy as jnp
 
         from ..nn.unet import LatentUNet
@@ -158,6 +170,7 @@ class ScoreConfig:
                           mxu_depthwise=self.mxu_depthwise,
                           mxu_max_positions=self.mxu_max_positions,
                           approx_gelu=self.approx_gelu,
+                          pallas_linear_attn=self.pallas_linear_attn and sample,
                           dtype=dtype or jnp.float32)
 
     def build_sde(self, sample: bool = False):

@@ -64,3 +64,27 @@ def test_vae_presets_reference_channel_lists():
     assert cel.size_in == 128 and cel.size_z == 256 and cel.variant == "celeb"
     attr = VAEConfig.celeba_attr().build_model()
     assert attr.att_size == 18 and attr.size_z == 256
+
+
+def test_sample_flavor_model_matches_train_flavor():
+    """build_model(sample=True) (fused Pallas linear attention on >=64
+    position levels) computes the same function as the differentiable
+    train-flavor model - identical params, same outputs (f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from score_based_multimodal_autoencoder_tpu.train.configs import (
+        ScoreConfig,
+    )
+
+    cfg = ScoreConfig.polymnist_tpu(dim=16)
+    train_model = cfg.build_model()
+    sample_model = cfg.build_model(sample=True)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 10))
+    t = jnp.full((2,), 0.4)
+    params = train_model.init(jax.random.key(1), x, t)
+    out_train = train_model.apply(params, x, t)
+    out_sample = sample_model.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_sample),
+                               np.asarray(out_train), rtol=1e-4, atol=1e-5)
