@@ -24,13 +24,26 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
-def enable_compilation_cache(path: str | None = None) -> str | None:
+def enable_compilation_cache(
+    path: str | None = None, platform: str | None = None
+) -> str | None:
     """Point JAX's persistent compilation cache at ``path`` (default: the
     repo-local ``.jax_cache``). Idempotent; returns the cache dir or None
-    when disabled via ``SBMAE_NO_COMPILATION_CACHE``."""
+    when disabled via ``SBMAE_NO_COMPILATION_CACHE`` or on CPU."""
     if os.environ.get("SBMAE_NO_COMPILATION_CACHE"):
         return None
     import jax
+
+    # Never cache CPU executables: XLA:CPU AOT-compiles against the build
+    # host's exact instruction-set features, and a cache entry written on
+    # one machine can SIGILL when loaded on another (the loader warns
+    # "Machine type used for XLA:CPU compilation doesn't match"). CPU
+    # compiles are cheap; the cache exists for the tunneled-TPU programs.
+    if platform is None:
+        platform = (jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS", "")).split(",")[0]
+    if platform.strip().lower() == "cpu":
+        return None
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR)
     jax.config.update("jax_compilation_cache_dir", path)
