@@ -373,7 +373,11 @@ def load_torch_attr_vae(state_dict):
     The torch nets are Linear/BatchNorm1d/ReLU stacks (Linear at Sequential
     index 3i, BN at 3i+1) with the decoder's output Linear at index 15. The
     AE flavors drop ``logvar_lin`` (h_vae_model.py:862); its flax params are
-    zero-filled - the AE wrapper never reads them.
+    filled with a large-negative bias so the head yields logvar ~ -60
+    (std ~ 1e-13): the AE wrapper never reads them, and misusing the
+    checkpoint through the VAE reparametrize path then degenerates to the
+    deterministic mu an AE means, instead of silently sampling with unit
+    variance (logvar=0).
     """
     sd = dict(state_dict)
     params: dict = {}
@@ -390,7 +394,7 @@ def load_torch_attr_vae(state_dict):
         params["logvar_lin"] = _dense(sd, "logvar_lin")
     else:
         params["logvar_lin"] = {"kernel": jnp.zeros((512, size_z)),
-                                "bias": jnp.zeros((size_z,))}
+                                "bias": jnp.full((size_z,), -60.0)}
     params["out_lin"] = _dense(sd, "dec_net.15")
     return {"params": params, "batch_stats": stats}
 

@@ -101,8 +101,12 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
     assert C == 3 * hidden, (C, hidden)
     bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
     bt = min(bt, B)
+    # Largest divisor of B <= the target: repeated halving degenerates to
+    # near-1 tiles when B shares few factors with the ~2048-row target
+    # (e.g. B=1024, N=100 -> target 20 would halve to 2), re-entering the
+    # tiny-program-overhead regime the module gate exists to avoid.
     while B % bt:
-        bt //= 2
+        bt -= 1
     kernel = functools.partial(_linear_attn_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5)
     return pl.pallas_call(

@@ -42,6 +42,13 @@ def enable_compilation_cache(
     if platform is None:
         platform = (jax.config.jax_platforms
                     or os.environ.get("JAX_PLATFORMS", "")).split(",")[0]
+    if not platform.strip():
+        # Nothing configured (plain host, no axon plugin): ask the actual
+        # backend rather than failing open onto JAX's default (CPU).
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            return None
     if platform.strip().lower() == "cpu":
         return None
 

@@ -57,6 +57,10 @@ def test_enable_compilation_cache_refuses_cpu(tmp_path, monkeypatch):
         assert enable_compilation_cache(str(tmp_path / "c")) is None
         assert enable_compilation_cache(str(tmp_path / "c"),
                                         platform="cpu") is None
+        # Nothing configured at all -> fall back to the real backend (CPU
+        # here), not fail open onto caching.
+        assert enable_compilation_cache(str(tmp_path / "c"),
+                                        platform="") is None
         assert jax.config.jax_compilation_cache_dir == prev_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)

@@ -75,6 +75,30 @@ def test_fused_linear_attention_matches_xla_composition():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_linear_attention_odd_batch_tile():
+    """Auto tile sizing must pick the largest DIVISOR of B under the
+    ~2048-row target, not halve until it divides: B=9, N=250 targets
+    bt=8, whose largest divisor of 9 is 3 (halving would degenerate to
+    bt=1, re-entering the tiny-program-overhead regime)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_linear_attention,
+    )
+
+    heads, d = 2, 8
+    hidden = heads * d
+    B, N = 9, 250
+    qkv = jax.random.normal(jax.random.key(3), (B, N, 3 * hidden))
+    got = fused_linear_attention(qkv, heads, d, interpret=True)
+
+    q, k, v = [p.reshape(B, N, heads, d) for p in jnp.split(qkv, 3, axis=-1)]
+    q = nn.softmax(q, axis=-1) * d ** -0.5
+    k = nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    want = jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_linear_attention_module_pallas_flag_matches():
     """LinearAttention(pallas_attn=True) produces the same outputs as the
     default path with identical params (sampling-time swap is lossless)."""
