@@ -66,6 +66,10 @@ def main():
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--resume", action="store_true",
                    help="continue from the last checkpoint in --ckpt-dir")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K optimizer steps into one lax.scan device "
+                        "dispatch (identical trajectory; amortizes "
+                        "dispatch latency on remote/tunneled devices)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
@@ -165,7 +169,8 @@ def main():
             ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
             eval_every=args.eval_every, eval_fn=eval_fn,
             metrics_path=args.metrics, resume=args.resume, mesh=mesh,
-            ncsn_sigmas=ncsn_sigmas)
+            ncsn_sigmas=ncsn_sigmas,
+            steps_per_dispatch=args.steps_per_dispatch)
         return
 
     if args.synthetic:
@@ -231,7 +236,8 @@ def main():
         ckpt_dir=args.ckpt_dir, ema_decay=args.ema,
         eval_every=args.eval_every, eval_fn=eval_fn,
         metrics_path=args.metrics, resume=args.resume, mesh=mesh,
-        ncsn_sigmas=ncsn_sigmas)
+        ncsn_sigmas=ncsn_sigmas,
+        steps_per_dispatch=args.steps_per_dispatch)
 
 
 if __name__ == "__main__":

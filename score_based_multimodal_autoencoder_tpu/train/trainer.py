@@ -59,13 +59,78 @@ from ..parallel.mesh import (  # noqa: E402
 
 def _mean_of(device_scalars) -> float:
     """ONE host sync for a whole epoch of per-step losses (the reference -
-    and round-2 this repo - blocked on every step's loss; VERDICT r2 §weak 3)."""
-    return float(jnp.mean(jnp.stack(device_scalars)))
+    and round-2 this repo - blocked on every step's loss; VERDICT r2 §weak 3).
+    Entries may be scalars (single steps) or (K,) arrays (scanned
+    multi-step dispatches); each element is one step's loss either way."""
+    return float(jnp.mean(jnp.concatenate(
+        [jnp.ravel(jnp.asarray(x)) for x in device_scalars])))
 
 
 def _weighted_mean(device_scalars, weights) -> float:
     vals = np.asarray(jnp.stack(device_scalars))
     return float(np.average(vals, weights=weights))
+
+
+def _grouped_batches(epoch_iter, k: int, batch_size: int):
+    """Group an epoch's batch-index arrays into runs of ``k`` FULL batches
+    (yielded as ``("stack", [idx, ...])``) plus ``("single", idx)``
+    leftovers, preserving step order. Used by the scanned multi-step
+    dispatch path: only full batches stack (static shapes), and the
+    epoch-tail remainder runs through the per-step program."""
+    pending = []
+    for idx in epoch_iter:
+        if k > 1 and len(idx) == batch_size:
+            pending.append(idx)
+            if len(pending) == k:
+                yield "stack", pending
+                pending = []
+        else:
+            for p in pending:  # flush first: keep step order identical
+                yield "single", p
+            pending = []
+            yield "single", idx
+    for idx in pending:
+        yield "single", idx
+
+
+def _stacked_sharding(batch_sh):
+    """Batch sharding spec lifted over a leading steps axis: a (K, *batch)
+    stack shards on the same 'data' axis, one position later."""
+    if batch_sh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(batch_sh.mesh, P(None, *tuple(batch_sh.spec)))
+
+
+def _make_multi_step(step_core):
+    """Fuse ``step_core`` over a leading steps axis with ``lax.scan``.
+
+    One dispatch runs K optimizer steps on-device: over a high-latency
+    device link (the tunneled v5e) the per-step train loop is DISPATCH
+    bound - each step consumes the previous step's params, so its
+    wall-clock floor is the client->device dispatch rate (measured
+    26.8 ms/step congested vs 6.2 ms device-side, BASELINE.md). The scan
+    is the training-side analogue of the whole-trajectory sampler: the
+    host leaves the loop entirely. The key is threaded through the carry
+    with the same one-split-per-step sequence as the host loop, so
+    trajectories are bit-identical to steps_per_dispatch=1.
+    """
+
+    @jax.jit
+    def multi_step(params, opt_state, ema, stacked, key):
+        def body(carry, batch):
+            params, opt_state, ema, key = carry
+            key, sub = jax.random.split(key)
+            params, opt_state, ema, loss = step_core(
+                params, opt_state, ema, batch, sub)
+            return (params, opt_state, ema, key), loss
+
+        (params, opt_state, ema, key), losses = jax.lax.scan(
+            body, (params, opt_state, ema, key), stacked)
+        return params, opt_state, ema, key, losses
+
+    return multi_step
 
 
 def train_vae_fleet(
@@ -298,12 +363,17 @@ def train_score_model(
     resume: bool = False,
     mesh=None,
     ncsn_sigmas=None,
+    steps_per_dispatch: int = 1,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training of the latent score network.
 
     - ``mesh``: optional DP mesh - score params/opt/EMA and the frozen
       fleet replicated, pixel batches sharded (n_mod, B->data, ...); the
       DSM gradient all-reduce rides ICI (SURVEY.md §2.8).
+    - ``steps_per_dispatch``: fuse K optimizer steps into ONE device
+      dispatch via ``lax.scan`` (bit-identical trajectory, see
+      _make_multi_step). K batches are staged on device per dispatch;
+      epoch-tail remainders run through the per-step program.
     - ``ncsn_sigmas``: (L,) noise grid switching the objective to discrete
       multi-sigma NCSN DSM - the AE track's sigma-index-conditioned score
       net (consumed by gen_ae, /root/reference/fid_upd10.py:85-101; its
@@ -367,8 +437,7 @@ def train_score_model(
                         likelihood_weighting=likelihood_weighting,
                         importance_sampling=importance_sampling)
 
-    @jax.jit
-    def step(params, opt_state, ema, pixels, key):
+    def _step_core(params, opt_state, ema, pixels, key):
         latents = fleet.encode(fleet_state, pixels, latent_hw)
         loss, grads = jax.value_and_grad(
             lambda p: _loss(p, latents, key))(params)
@@ -378,6 +447,11 @@ def train_score_model(
             ema = jax.tree_util.tree_map(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
         return params, opt_state, ema, loss
+
+    step = jax.jit(_step_core)
+    multi_step = (_make_multi_step(_step_core)
+                  if steps_per_dispatch > 1 else None)
+    stack_sh = _stacked_sharding(batch_sh)
 
     @jax.jit
     def val_step(params, pixels, key):
@@ -427,11 +501,20 @@ def train_score_model(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
-        for idx in train_iter.epoch():
-            batch = _put_batch(gather_batch_01(pixels_train, idx),
-                               batch_sh, axis=1)
-            key, sub = jax.random.split(key)
-            params, opt_state, ema, loss = step(params, opt_state, ema, batch, sub)
+        for kind, item in _grouped_batches(train_iter.epoch(),
+                                           steps_per_dispatch, batch_size):
+            if kind == "stack":
+                stacked = _put_batch(
+                    np.stack([gather_batch_01(pixels_train, i)
+                              for i in item]), stack_sh, axis=2)
+                params, opt_state, ema, key, loss = multi_step(
+                    params, opt_state, ema, stacked, key)
+            else:
+                batch = _put_batch(gather_batch_01(pixels_train, item),
+                                   batch_sh, axis=1)
+                key, sub = jax.random.split(key)
+                params, opt_state, ema, loss = step(
+                    params, opt_state, ema, batch, sub)
             losses.append(loss)
         train_loss = _mean_of(losses)
         history.append(train_loss)
@@ -531,6 +614,7 @@ def train_het_score_model(
     resume: bool = False,
     mesh=None,
     ncsn_sigmas=None,
+    steps_per_dispatch: int = 1,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training over heterogeneous frozen AEs (the CelebA path,
     /root/reference/train_lat_celebhq_unet_cont2.py:376-561): encode the
@@ -538,7 +622,9 @@ def train_het_score_model(
     UNet; full-val loss, best-on-val checkpoints, EMA, preemption-safe
     resume and the every-``eval_every``-epoch calc_perf hook
     (train_lat_celebhq_unet_cont2.py:559-561). ``mesh``: optional DP mesh -
-    params replicated, per-modality input batches sharded on axis 0."""
+    params replicated, per-modality input batches sharded on axis 0.
+    ``steps_per_dispatch``: fuse K optimizer steps into one ``lax.scan``
+    dispatch (bit-identical trajectory, see _make_multi_step)."""
     key = jax.random.key(seed + 100)
     val_key = jax.random.key(seed + 7919)
     rep, batch_sh = _dp_shardings(mesh, modality_major=False)
@@ -587,8 +673,7 @@ def train_het_score_model(
                         likelihood_weighting=likelihood_weighting,
                         importance_sampling=importance_sampling)
 
-    @jax.jit
-    def step(params, opt_state, ema, inputs, key):
+    def _step_core(params, opt_state, ema, inputs, key):
         grid = encode(inputs)
         loss, grads = jax.value_and_grad(
             lambda p: _loss(p, grid, key))(params)
@@ -598,6 +683,11 @@ def train_het_score_model(
             ema = jax.tree_util.tree_map(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
         return params, opt_state, ema, loss
+
+    step = jax.jit(_step_core)
+    multi_step = (_make_multi_step(_step_core)
+                  if steps_per_dispatch > 1 else None)
+    stack_sh = _stacked_sharding(batch_sh)
 
     @jax.jit
     def val_step(params, inputs, key):
@@ -640,11 +730,21 @@ def train_het_score_model(
     history = []
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
-        for idx in it.epoch():
-            key, sub = jax.random.split(key)
-            batch = _put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
-            params, opt_state, ema, loss = step(
-                params, opt_state, ema, batch, sub)
+        for kind, item in _grouped_batches(it.epoch(),
+                                           steps_per_dispatch, batch_size):
+            if kind == "stack":
+                batches = [gather(np.asarray(i)) for i in item]
+                stacked = _put_batch(
+                    jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *batches),
+                    stack_sh, axis=1)
+                params, opt_state, ema, key, loss = multi_step(
+                    params, opt_state, ema, stacked, key)
+            else:
+                key, sub = jax.random.split(key)
+                batch = _put_batch(gather(np.asarray(item)), batch_sh, axis=0)
+                params, opt_state, ema, loss = step(
+                    params, opt_state, ema, batch, sub)
             losses.append(loss)
         train_loss = _mean_of(losses)
         history.append(train_loss)

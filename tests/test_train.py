@@ -148,3 +148,44 @@ def test_score_trainer_val_best_and_eval_hook(tmp_path):
     best = mgr.restore_raw("best")
     vals = [r["val_dsm"] for r in val_rows]
     assert int(best["epoch"]) == int(np.argmin(vals))
+
+
+def test_score_trainer_steps_per_dispatch_equivalent():
+    """steps_per_dispatch fuses K optimizer steps into one lax.scan
+    dispatch with an IDENTICAL trajectory (same per-step key splits, same
+    update order, epoch-tail remainder through the per-step program) up to
+    XLA fusion reassociation - the scanned body compiles to a slightly
+    different fusion than the standalone jit, so a handful of float32
+    elements differ at the ~1e-6 level (train/trainer.py _make_multi_step)."""
+    from score_based_multimodal_autoencoder_tpu.parallel import VAEFleet
+    from score_based_multimodal_autoencoder_tpu.train.trainer import (
+        train_score_model,
+    )
+    from score_based_multimodal_autoencoder_tpu.data import synthetic_polymnist
+
+    ds = synthetic_polymnist(n=20, n_mod=2, size=16, seed=0)
+    vae = _tiny_vae()
+    fleet = VAEFleet(vae, 2, optax.adam(1e-3))
+    fleet_state = fleet.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
+    sde = VPSDE(N=10)
+
+    def run(k):
+        model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+        # n=20, batch 8 -> per epoch: two full batches (one stack of 2 at
+        # k=2) + a 4-sample tail through the per-step program.
+        return train_score_model(
+            model, sde, fleet, fleet_state, ds.images, 4,
+            lr=1e-3, batch_size=8, epochs=2, likelihood_weighting=False,
+            seed=3, ema_decay=0.99, steps_per_dispatch=k)
+
+    ref, fused = run(1), run(2)
+    np.testing.assert_allclose(ref["history"], fused["history"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref["params"]),
+                    jax.tree_util.tree_leaves(fused["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref["ema"]),
+                    jax.tree_util.tree_leaves(fused["ema"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
