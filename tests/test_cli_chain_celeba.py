@@ -102,6 +102,7 @@ def test_celeba_refiner_and_cond_cli(ckpt_root):
         "--contrastive-ckpt", f"{ckpt_root}/contrastive",
         "--pretrain-contrastive", "1", "--rep-dim", "32",
         "--model-channels", "8", "--channel-mult", "1,2",
+        "--steps-per-dispatch", "2",
         "--eval-every", "1", "--eval-amount", "8", "--sample-n", "5",
         "--metrics", f"{ckpt_root}/cond_metrics.jsonl",
         "--ckpt-dir", f"{ckpt_root}/cond_score"])
