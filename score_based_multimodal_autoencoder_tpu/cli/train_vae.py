@@ -34,6 +34,10 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--resume", action="store_true",
                    help="continue from the resume checkpoint in --ckpt-dir")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fuse K optimizer steps into one lax.scan device "
+                        "dispatch (identical trajectory; amortizes "
+                        "dispatch latency on remote/tunneled devices)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
@@ -81,7 +85,8 @@ def main():
         train_single_vae(
             model, train_arr, val_arr, beta=args.beta, lr=args.lr,
             batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
-            ckpt_dir=args.ckpt_dir, resume=args.resume, mesh=mesh)
+            ckpt_dir=args.ckpt_dir, resume=args.resume, mesh=mesh,
+            steps_per_dispatch=args.steps_per_dispatch)
         return
 
     if args.synthetic:
@@ -101,7 +106,7 @@ def main():
         model, px_train, px_val, beta=args.beta, lr=args.lr,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume,
-        mesh=mesh)
+        mesh=mesh, steps_per_dispatch=args.steps_per_dispatch)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,27 @@ def _make_multi_step(step_core):
     return multi_step
 
 
+def _make_multi_step_state(step_core):
+    """``_make_multi_step`` for trainers whose step is
+    ``(state, batch, key) -> (state, metrics)`` (the stage-1 VAE trainers):
+    K steps per ``lax.scan`` dispatch, key threaded through the carry with
+    the per-step split sequence of the host loop, per-step ``total``
+    losses stacked out."""
+
+    @jax.jit
+    def multi_step(state, stacked, key):
+        def body(carry, batch):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, metrics = step_core(state, batch, sub)
+            return (state, key), metrics["total"]
+
+        (state, key), totals = jax.lax.scan(body, (state, key), stacked)
+        return state, key, totals
+
+    return multi_step
+
+
 def train_vae_fleet(
     vae_model,
     pixels_train: np.ndarray,  # (n_mod, N, H, W, C) uint8 or float
@@ -147,10 +168,13 @@ def train_vae_fleet(
     loss_type: str = "vae",
     resume: bool = False,
     mesh=None,
+    steps_per_dispatch: int = 1,
 ) -> Dict[str, Any]:
     """``mesh``: optional DP mesh (parallel.mesh.make_mesh) - fleet state
     replicated, batches sharded (n_mod, B->data, ...); XLA inserts the
-    gradient all-reduce over ICI (SURVEY.md §2.8)."""
+    gradient all-reduce over ICI (SURVEY.md §2.8). ``steps_per_dispatch``:
+    fuse K optimizer steps into one ``lax.scan`` dispatch (same
+    trajectory, see _make_multi_step)."""
     n_mod = pixels_train.shape[0]
     tx = adam_with_mutable_lr(lr)
     fleet = VAEFleet(vae_model, n_mod, tx, beta=beta, loss_type=loss_type)
@@ -159,6 +183,9 @@ def train_vae_fleet(
     key, init_key = jax.random.split(key)
     state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
     step = jax.jit(fleet.train_step)
+    multi_step = (_make_multi_step_state(fleet.train_step)
+                  if steps_per_dispatch > 1 else None)
+    stack_sh = _stacked_sharding(batch_sh)
     eval_step = jax.jit(fleet.eval_loss)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
@@ -187,13 +214,23 @@ def train_vae_fleet(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         totals = []
-        for idx in train_iter.epoch():
-            batch = _put_batch(gather_batch_01(pixels_train, idx),
-                               batch_sh, axis=1)
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, sub)
-            totals.append(metrics["total"])
-        train_loss = float(jnp.stack(totals).mean())
+        for kind, item in _grouped_batches(train_iter.epoch(),
+                                           steps_per_dispatch, batch_size):
+            if kind == "stack":
+                stacked = _put_batch(
+                    np.stack([gather_batch_01(pixels_train, i)
+                              for i in item]), stack_sh, axis=2)
+                state, key, total = multi_step(state, stacked, key)
+            else:
+                batch = _put_batch(gather_batch_01(pixels_train, item),
+                                   batch_sh, axis=1)
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, batch, sub)
+                total = metrics["total"]
+            totals.append(total)
+        # _mean_of ravels (K, n_mod) scanned stacks and (n_mod,) per-step
+        # entries alike - same all-steps-all-modalities mean as before.
+        train_loss = _mean_of(totals)
         history.append(train_loss)
         _log(f"epoch {epoch}: train={train_loss:.4f} "
              f"({time.time() - t0:.1f}s)")
@@ -247,13 +284,16 @@ def train_single_vae(
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
     mesh=None,
+    steps_per_dispatch: int = 1,
 ) -> Dict[str, Any]:
     """One heterogeneous-modality VAE (the CelebA image/mask/attr trainers,
     /root/reference/train_celeba_res_hq.py, train_celeba_mask_hq.py,
     train_celeba_attr_hq.py): best-on-val + last checkpoints, plateau LR.
     ``mesh``: optional DP mesh - state replicated, batch axis sharded
     (BatchNorm statistics stay GLOBAL: under jit the sharded batch is one
-    logical array, so XLA computes cross-replica means, i.e. sync-BN)."""
+    logical array, so XLA computes cross-replica means, i.e. sync-BN).
+    ``steps_per_dispatch``: fuse K optimizer steps into one ``lax.scan``
+    dispatch (same trajectory, see _make_multi_step)."""
     from .state import create_train_state
     from .steps import make_vae_eval_step, make_vae_train_step
 
@@ -264,7 +304,11 @@ def train_single_vae(
     variables = model.init(init_key, sample, key=noise_key, train=True)
     tx = adam_with_mutable_lr(lr)
     state = create_train_state(model, variables, tx)
-    train_step = jax.jit(make_vae_train_step(model, beta))
+    _vae_step_core = make_vae_train_step(model, beta)
+    train_step = jax.jit(_vae_step_core)
+    multi_step = (_make_multi_step_state(_vae_step_core)
+                  if steps_per_dispatch > 1 else None)
+    stack_sh = _stacked_sharding(batch_sh)
     eval_step = jax.jit(make_vae_eval_step(model, beta))
     scheduler = ReduceLROnPlateau(patience=5)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
@@ -293,12 +337,20 @@ def train_single_vae(
     it = BatchIterator(np.arange(train_data.shape[0]), batch_size, seed=seed)
     for epoch in range(start_epoch, epochs):
         t0, totals = time.time(), []
-        for idx in it.epoch():
-            batch = _put_batch(to_float01(train_data[np.asarray(idx)]),
-                               batch_sh, axis=0)
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(state, batch, sub)
-            totals.append(metrics["total"])
+        for kind, item in _grouped_batches(it.epoch(),
+                                           steps_per_dispatch, batch_size):
+            if kind == "stack":
+                stacked = _put_batch(
+                    np.stack([to_float01(train_data[np.asarray(i)])
+                              for i in item]), stack_sh, axis=1)
+                state, key, total = multi_step(state, stacked, key)
+            else:
+                batch = _put_batch(to_float01(train_data[np.asarray(item)]),
+                                   batch_sh, axis=0)
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batch, sub)
+                total = metrics["total"]
+            totals.append(total)
         history.append(_mean_of(totals))
         _log(f"epoch {epoch}: train={history[-1]:.4f} "
              f"({time.time() - t0:.1f}s)")

@@ -189,3 +189,39 @@ def test_score_trainer_steps_per_dispatch_equivalent():
                     jax.tree_util.tree_leaves(fused["ema"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_vae_fleet_steps_per_dispatch_equivalent():
+    """The stage-1 fleet trainer's fused-dispatch path
+    (trainer._make_multi_step_state) matches the per-step trajectory to
+    float32 fusion-reassociation tolerance, incl. the epoch-tail batch
+    through the per-step program."""
+    from score_based_multimodal_autoencoder_tpu.data import synthetic_polymnist
+    from score_based_multimodal_autoencoder_tpu.train.trainer import (
+        train_vae_fleet,
+    )
+
+    ds = synthetic_polymnist(n=20, n_mod=2, size=16, seed=0)
+
+    def run(k):
+        # n=20, batch 8 -> two full batches (one stack of 2 at k=2) plus a
+        # 4-sample tail through the per-step program.
+        return train_vae_fleet(
+            _tiny_vae(), ds.images, None, beta=0.5, lr=1e-3, batch_size=8,
+            epochs=2, seed=11, steps_per_dispatch=k)
+
+    ref, fused = run(1), run(2)
+    # The tight trajectory assertion is the loss history (agrees to ~1e-7
+    # relative). Params get atol of a few adam steps (lr=1e-3): for
+    # normalization-shadowed leaves (e.g. a conv bias feeding a norm) the
+    # true gradient is ~0, so adam's m/sqrt(v) turns the scanned-vs-
+    # standalone programs' reduction-order noise into full-lr-sized
+    # updates - measured 1.5e-3 on the stem bias after just 2 steps while
+    # the epoch loss matched to every printed digit. Functionally
+    # meaningful leaves move together (history proves it).
+    np.testing.assert_allclose(ref["history"], fused["history"],
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref["state"]),
+                    jax.tree_util.tree_leaves(fused["state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
