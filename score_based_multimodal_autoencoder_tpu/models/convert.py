@@ -298,6 +298,70 @@ def _nchw_to_nhwc_in_perm(C, H, W):
     return (c * H * W + h * W + w).reshape(-1)
 
 
+def _res_encoder(sd, prefix, enc_channel_list, size_in: int):
+    """ResEncoder(N) subtree (h_vae_model_copy.py:41-71/379-409) ->
+    ``models.vae.ResEncoder`` (params, batch_stats). ``prefix`` includes the
+    trailing dot (e.g. ``"enc."``)."""
+    params: dict = {"stem_conv": _conv(sd, f"{prefix}ch_enc.0")}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, f"{prefix}ch_enc.1")
+
+    for i, (cin, mid, out, rate) in enumerate(enc_channel_list):
+        p, s = _rblock(sd, f"{prefix}r_blocks.{i}")
+        if cin != out:
+            p["size_conv"] = _conv(sd, f"{prefix}r_blocks.{i}.size_conv",
+                                   bias=False)
+        params[f"block{i}"], stats[f"block{i}"] = p, s
+
+    # mu/logvar heads: torch flattens the NCHW half-map; flax the NHWC one.
+    feat_size = size_in // 2
+    for _, _, _, rate in enc_channel_list:
+        feat_size //= rate
+    c_half = enc_channel_list[-1][2] // 2
+    perm = _nchw_to_nhwc_in_perm(c_half, feat_size, feat_size)
+    for tname, fname in ((f"{prefix}mu_lin", "mu_lin"),
+                         (f"{prefix}logvar_lin", "logvar_lin")):
+        w = _np(sd[f"{tname}.weight"])  # (size_z, flat)
+        params[fname] = {
+            "kernel": jnp.asarray(w[:, perm].T),
+            "bias": jnp.asarray(_np(sd[f"{tname}.bias"])),
+        }
+    return params, stats
+
+
+def _res_decoder(sd, prefix, z_lin_name, dec_channel_list, size_in: int):
+    """ResDecoder(N) subtree + its z_lin (h_vae_model_copy.py:73-89/411-428;
+    z_lin lives on the parent module, h_vae_model_copy.py:104-126) ->
+    ``models.vae.ResDecoder`` (params, batch_stats)."""
+    params: dict = {}
+    stats: dict = {}
+
+    # z_lin: torch output reshapes to NCHW, flax to NHWC.
+    dec_init = size_in
+    for _, _, _, rate in dec_channel_list:
+        dec_init //= rate
+    c0 = dec_channel_list[0][0]
+    out_perm = _nchw_to_nhwc_in_perm(c0, dec_init, dec_init)
+    zw = _np(sd[f"{z_lin_name}.weight"])  # (flat, size_z)
+    zb = _np(sd[f"{z_lin_name}.bias"])
+    params["z_lin"] = {"kernel": jnp.asarray(zw[out_perm].T),
+                       "bias": jnp.asarray(zb[out_perm])}
+
+    for i, (cin, mid, out, rate) in enumerate(dec_channel_list):
+        p, s = _rblock(sd, f"{prefix}r_blocks.{i}")
+        if cin != out:
+            p["size_conv"] = _conv(sd, f"{prefix}r_blocks.{i}.size_conv",
+                                   bias=False)
+        params[f"block{i}"], stats[f"block{i}"] = p, s
+
+    # Head: ch_dec.0 is a plain RBlock (same shape in/out, no size_conv
+    # mapped), ch_dec.1 the 5x5 conv (h_vae_model_copy.py:80-84/417-424).
+    p, s = _rblock(sd, f"{prefix}ch_dec.0")
+    params["head_block"], stats["head_block"] = p, s
+    params["head_conv"] = _conv(sd, f"{prefix}ch_dec.1")
+    return params, stats
+
+
 def load_torch_resvae(state_dict, enc_channel_list, dec_channel_list,
                       size_in: int, size_z: int):
     """Reference ``ResVAE``/``ResVAEN``/``ResAE(N)`` state_dict ->
@@ -307,59 +371,125 @@ def load_torch_resvae(state_dict, enc_channel_list, dec_channel_list,
     flatten/unflatten conv features (mu_lin, logvar_lin, z_lin).
     """
     sd = {k: v for k, v in state_dict.items()}
-    params: dict = {"enc": {}, "dec": {}}
-    stats: dict = {"enc": {}, "dec": {}}
+    enc_p, enc_s = _res_encoder(sd, "enc.", enc_channel_list, size_in)
+    dec_p, dec_s = _res_decoder(sd, "dec.", "z_lin", dec_channel_list,
+                                size_in)
+    return {"params": {"enc": enc_p, "dec": dec_p},
+            "batch_stats": {"enc": enc_s, "dec": dec_s}}
 
-    # Encoder stem (ch_enc: conv5x5, BN, act, avgpool).
-    params["enc"]["stem_conv"] = _conv(sd, "enc.ch_enc.0")
-    bn_p, bn_s = _bn(sd, "enc.ch_enc.1")
-    params["enc"]["stem_bn"], stats["enc"]["stem_bn"] = bn_p, bn_s
 
-    for i, (cin, mid, out, rate) in enumerate(enc_channel_list):
-        p, s = _rblock(sd, f"enc.r_blocks.{i}")
-        if cin != out:
-            p["size_conv"] = _conv(sd, f"enc.r_blocks.{i}.size_conv",
-                                   bias=False)
-        params["enc"][f"block{i}"], stats["enc"][f"block{i}"] = p, s
+# ---------------------------------------------------------------------------
+# Mixture-family baselines (mopoe_model.py MOPOEPolyRes / MMVAEPolyRes /
+# MVPolyRes / MVTPolyRes) -> models/baselines/mixture.py
+# ---------------------------------------------------------------------------
 
-    # mu/logvar heads: torch flattens the NCHW half-map; flax the NHWC one.
-    feat_size = size_in // 2
-    for _, _, _, rate in enc_channel_list:
-        feat_size //= rate
-    c_half = enc_channel_list[-1][2] // 2
-    perm = _nchw_to_nhwc_in_perm(c_half, feat_size, feat_size)
-    for tname, fname in (("enc.mu_lin", "mu_lin"),
-                         ("enc.logvar_lin", "logvar_lin")):
-        w = _np(sd[f"{tname}.weight"])  # (size_z, flat)
-        params["enc"][fname] = {
-            "kernel": jnp.asarray(w[:, perm].T),
-            "bias": jnp.asarray(_np(sd[f"{tname}.bias"])),
-        }
+def load_torch_mixture_vaes(state_dict, n_mod: int, enc_channel_list,
+                            dec_channel_list, size_in: int, size_z: int):
+    """Reference mixture-baseline state_dict -> ``MixtureMultimodalVAE``
+    variables.
 
-    # Decoder z_lin: torch output reshapes to NCHW, flax to NHWC.
-    dec_init = size_in
-    for _, _, _, rate in dec_channel_list:
-        dec_init //= rate
-    c0 = dec_channel_list[0][0]
-    out_perm = _nchw_to_nhwc_in_perm(c0, dec_init, dec_init)
-    zw = _np(sd["z_lin.weight"])  # (flat, size_z)
-    zb = _np(sd["z_lin.bias"])
-    params["dec"]["z_lin"] = {"kernel": jnp.asarray(zw[out_perm].T),
-                              "bias": jnp.asarray(zb[out_perm])}
+    All four torch classes (``MOPOEPolyRes`` mopoe_model.py:310,
+    ``MMVAEPolyRes`` :470, ``MVPolyRes`` :547, ``MVTPolyRes`` :644) hold the
+    same ``vae_list`` of per-modality ``ResVAE``; the flax module stacks them
+    along a leading modality axis (nn.vmap, variable_axes={"params": 0}), so
+    the conversion is per-modality ``load_torch_resvae`` + leaf-wise stack.
+    """
+    per_mod = []
+    for m in range(n_mod):
+        prefix = f"vae_list.{m}."
+        sub = {k[len(prefix):]: v for k, v in state_dict.items()
+               if k.startswith(prefix)}
+        per_mod.append(load_torch_resvae(sub, enc_channel_list,
+                                         dec_channel_list, size_in, size_z))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_mod)
+    return {"params": {"vaes": stacked["params"]},
+            "batch_stats": {"vaes": stacked["batch_stats"]}}
 
-    for i, (cin, mid, out, rate) in enumerate(dec_channel_list):
-        p, s = _rblock(sd, f"dec.r_blocks.{i}")
-        if cin != out:
-            p["size_conv"] = _conv(sd, f"dec.r_blocks.{i}.size_conv",
-                                   bias=False)
-        params["dec"][f"block{i}"], stats["dec"][f"block{i}"] = p, s
 
-    # Head: ch_dec.0 is a plain RBlock (same shape in/out, no size_conv
-    # mapped), ch_dec.1 the 5x5 conv (h_vae_model_copy.py:80-84/417-424).
-    p, s = _rblock(sd, "dec.ch_dec.0")
-    params["dec"]["head_block"], stats["dec"]["head_block"] = p, s
-    params["dec"]["head_conv"] = _conv(sd, "dec.ch_dec.1")
-    return {"params": params, "batch_stats": stats}
+# ---------------------------------------------------------------------------
+# MMVAE+ (mmplus_model.py PolyMNIST_10modalities) -> models/baselines/mmplus.py
+# ---------------------------------------------------------------------------
+
+def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
+                      dec_channel_list, size_in: int, dim_u: int):
+    """Reference ``PolyMNIST_10modalities`` state_dict (mmplus_model.py:
+    197-385) -> ``MMVAEPlus(arch='res')`` variables.
+
+    Each torch modality VAE wraps the house nets: ``Enc.enc`` is a plain
+    ``ResEncoder`` (the softmax scale transform is functional,
+    mmplus_model.py:216-218) and ``Dec`` composes its own ``z_lin`` + ReLU
+    with a ``ResDecoder`` (:225-249) - exactly the composition of this
+    repo's flax ``ResDecoder``. Prior params: ``pw_raw`` takes the w-prior's
+    raw scale (softmax-parameterized, :268-270); the torch per-modality
+    copies are tied in this module (the reference initializes them all to
+    zeros and only the top-level/learnable one trains).
+    """
+    per_enc, per_dec = [], []
+    for m in range(n_mod):
+        pseudo = {}
+        pe, pd, pz = (f"vaes.{m}.enc.enc.", f"vaes.{m}.dec.dec_.",
+                      f"vaes.{m}.dec.z_lin.")
+        for k, v in state_dict.items():
+            if k.startswith(pe):
+                pseudo["enc." + k[len(pe):]] = v
+            elif k.startswith(pd):
+                pseudo["dec." + k[len(pd):]] = v
+            elif k.startswith(pz):
+                pseudo["z_lin." + k[len(pz):]] = v
+        enc_p, enc_s = _res_encoder(pseudo, "enc.", enc_channel_list, size_in)
+        dec_p, dec_s = _res_decoder(pseudo, "dec.", "z_lin",
+                                    dec_channel_list, size_in)
+        per_enc.append({"p": enc_p, "s": enc_s})
+        per_dec.append({"p": dec_p, "s": dec_s})
+    encs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_enc)
+    decs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_dec)
+
+    pw = state_dict.get("_pw_params.1",
+                        state_dict.get("vaes.0._pw_params.1"))
+    latent_dim_w = _np(pw).shape[-1] if pw is not None else dim_u // 2
+    pw_raw = (jnp.asarray(_np(pw)) if pw is not None
+              else jnp.zeros((1, latent_dim_w)))
+    return {"params": {"encs": encs["p"], "decs": decs["p"],
+                       "pw_raw": pw_raw},
+            "batch_stats": {"encs": encs["s"], "decs": decs["s"]}}
+
+
+# ---------------------------------------------------------------------------
+# Contrastive representation encoders (h_vae_model.py CelImgRep / CelMaskRep
+# / CelAttrRep) -> nn/contrastive.py
+# ---------------------------------------------------------------------------
+
+def _projection_head(sd, prefix):
+    """ProjectionHead (h_vae_model.py:964-985) -> nn/contrastive.py
+    ProjectionHead params."""
+    return {"projection": _dense(sd, f"{prefix}projection"),
+            "fc": _dense(sd, f"{prefix}fc"),
+            "layer_norm": _norm(sd, f"{prefix}layer_norm")}
+
+
+def load_torch_rep_encoder(state_dict, channel_list, size_in: int):
+    """Reference ``CelImgRep`` / ``CelMaskRep`` state_dict
+    (h_vae_model.py:1040-1070: ResEncoderN + ProjectionHead) ->
+    ``nn.contrastive.ImageRepEncoder`` variables."""
+    sd = dict(state_dict)
+    enc_p, enc_s = _res_encoder(sd, "enc.", channel_list, size_in)
+    return {"params": {"enc": enc_p, "proj": _projection_head(sd, "proj.")},
+            "batch_stats": {"enc": enc_s}}
+
+
+def load_torch_attr_rep(state_dict):
+    """Reference ``CelAttrRep`` state_dict (h_vae_model.py:987-998, encoder
+    ``CelAttrEnc`` :807-836) -> ``nn.contrastive.AttrRepEncoder`` variables.
+    The unused ``logvar_lin`` head is dropped (the rep encoder reads mu
+    only, h_vae_model.py:995-997)."""
+    sd = dict(state_dict)
+    enc_p, enc_s = {}, {}
+    for i in range(5):
+        enc_p[f"fc{i}"] = _dense(sd, f"enc.enc_net.{3 * i}")
+        enc_p[f"bn{i}"], enc_s[f"bn{i}"] = _bn(sd, f"enc.enc_net.{3 * i + 1}")
+    params = {"enc": enc_p, "mu": _dense(sd, "enc.mu_lin"),
+              "proj": _projection_head(sd, "proj.")}
+    return {"params": params, "batch_stats": {"enc": enc_s}}
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,9 @@ class ProjectionHead(nn.Module):
         h = nn.Dense(self.projection_dim, dtype=self.dtype, name="fc")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = h + projected
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(h)
+        # epsilon matches torch nn.LayerNorm's 1e-5 (h_vae_model.py:976).
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="layer_norm")(h)
 
 
 class ImageRepEncoder(nn.Module):

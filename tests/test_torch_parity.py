@@ -24,9 +24,15 @@ sys.path.insert(0, "/root/reference")
 # process - this was an order-dependent failure in full-suite runs).
 if "torchvision" not in sys.modules:
     tv = types.ModuleType("torchvision")
+    tv.__path__ = []  # mark as package so "torchvision.utils" resolves
     tv.models = types.SimpleNamespace(resnet50=lambda *a, **k: None)
     tv.__sbmae_stub__ = True
+    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils.save_image = lambda *a, **k: None
+    tv_utils.make_grid = lambda *a, **k: None
+    tv.utils = tv_utils
     sys.modules["torchvision"] = tv
+    sys.modules["torchvision.utils"] = tv_utils
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -454,6 +460,161 @@ def test_mopoe_clf_parity():
     out_f = MoPoEImageClassifier().apply(variables, _nhwc(x))
     np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
                                rtol=1e-3, atol=2e-4)
+
+
+def test_mixture_vaes_parity():
+    """Reference MOPOEPolyRes (mopoe_model.py:310-360; shared by the MMVAE/
+    MVAE/MVTCAE classes, which hold the identical vae_list) ==
+    MixtureMultimodalVAE after load_torch_mixture_vaes: per-modality encoder
+    (mu, logvar) and same-z decode."""
+    import mopoe_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mixture import (
+        MixtureMultimodalVAE,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mixture_vaes,
+    )
+
+    torch.manual_seed(11)
+    enc = [(8, 16, 16, 2), (16, 32, 32, 2)]
+    dec = [(32, 16, 16, 2), (16, 16, 16, 2)]
+    n_mod = 2
+    tnet = ref.MOPOEPolyRes(n_mod, enc, dec, size_z=16, size_in=32,
+                            img_ch=3).eval()
+    variables = load_torch_mixture_vaes(tnet.state_dict(), n_mod, enc, dec,
+                                        size_in=32, size_z=16)
+
+    fnet = MixtureMultimodalVAE(
+        n_mod, tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+        size_in=32, size_z=16, img_ch=3)
+
+    x = torch.rand(n_mod, 2, 3, 32, 32)
+    x_f = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    mus_f, logvars_f = fnet.apply(variables, x_f, False,
+                                  method=fnet.encode_all)
+    with torch.no_grad():
+        for m in range(n_mod):
+            mu_t, logvar_t = tnet.vae_list[m].encoder(x[m])
+            np.testing.assert_allclose(np.asarray(mus_f[m]), mu_t.numpy(),
+                                       rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(logvars_f[m]),
+                                       logvar_t.numpy(), rtol=1e-3, atol=1e-4)
+
+    z = torch.randn(2, 16)
+    outs_f = fnet.apply(variables, jnp.asarray(z.numpy()), False,
+                        method=fnet.decode_all_same_z)
+    with torch.no_grad():
+        for m in range(n_mod):
+            out_t = tnet.vae_list[m].decoder(z)
+            _assert_close(outs_f[m], out_t)
+
+
+def test_mmplus_res_parity():
+    """Reference PolyMNIST_10modalities (mmplus_model.py:323-385; house
+    ResEncoder/ResDecoder nets) == MMVAEPlus(arch='res') after
+    load_torch_mmplus: softmax-scaled posterior params and per-decoder
+    means."""
+    import mmplus_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus import (
+        MMVAEPlus,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mmplus,
+    )
+
+    torch.manual_seed(12)
+    params = types.SimpleNamespace(n_mod=2, latent_dim_w=4, latent_dim_z=4,
+                                   learn_prior_w_polymnist=True,
+                                   tmpdir="/tmp")
+    tnet = ref.PolyMNIST_10modalities(params).eval()
+    enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
+    dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
+    variables = load_torch_mmplus(tnet.state_dict(), 2, enc, dec,
+                                  size_in=32, dim_u=8)
+
+    fnet = MMVAEPlus(n_mod=2, latent_dim_w=4, latent_dim_z=4, arch="res")
+
+    x = torch.rand(2, 2, 3, 32, 32)
+    x_f = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    loc_f, scale_f = fnet.apply(variables, x_f, False, method=fnet.encode)
+    with torch.no_grad():
+        for m in range(2):
+            loc_t, scale_t = tnet.vaes[m].enc(x[m])
+            np.testing.assert_allclose(np.asarray(loc_f[m]), loc_t.numpy(),
+                                       rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(scale_f[m]),
+                                       scale_t.numpy(), rtol=1e-3, atol=1e-5)
+
+    us = torch.randn(2, 3, 8)
+    outs_f = fnet.apply(variables, jnp.asarray(us.numpy()), False,
+                        method=fnet.decode_all)
+    with torch.no_grad():
+        for m in range(2):
+            out_t, _ = tnet.vaes[m].dec(us[m : m + 1])  # (1, 3, C, H, W)
+            _assert_close(outs_f[m], out_t[0], atol=2e-4)
+
+    # The w-prior scale param converts too (softmax-parameterized raw).
+    pw_raw_t = tnet.vaes[0]._pw_params[1].detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["pw_raw"]), pw_raw_t)
+
+
+def test_mask_rep_encoder_parity():
+    """Reference CelMaskRep (h_vae_model.py:1057-1070: ResEncoderN +
+    ProjectionHead) == ImageRepEncoder after load_torch_rep_encoder (the
+    contrastive-pretraining rep net; CelImgRep differs only in config)."""
+    import h_vae_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.nn.contrastive import (
+        ImageRepEncoder,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_rep_encoder,
+    )
+
+    torch.manual_seed(13)
+    tnet = ref.CelMaskRep(size_z=512).eval()
+    channel_list = tnet.enc_channel_list1
+    variables = load_torch_rep_encoder(tnet.state_dict(), channel_list,
+                                       size_in=128)
+
+    fnet = ImageRepEncoder(tuple(map(tuple, channel_list)), size_in=128,
+                           size_z=512, img_ch=1, dropout=0.2)
+
+    x = torch.rand(2, 1, 128, 128)
+    with torch.no_grad():
+        want = tnet(x)
+    got = fnet.apply(variables, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+def test_attr_rep_encoder_parity():
+    """Reference CelAttrRep (h_vae_model.py:987-998) == AttrRepEncoder after
+    load_torch_attr_rep."""
+    import h_vae_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.nn.contrastive import (
+        AttrRepEncoder,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_attr_rep,
+    )
+
+    torch.manual_seed(14)
+    tnet = ref.CelAttrRep(att_size=18, size_z=512).eval()
+    variables = load_torch_attr_rep(tnet.state_dict())
+
+    fnet = AttrRepEncoder(att_size=18, size_z=512)
+
+    x = (torch.rand(4, 18) > 0.5).float()
+    with torch.no_grad():
+        want = tnet(x)
+    got = fnet.apply(variables, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_flat_score_mlp_parity():
