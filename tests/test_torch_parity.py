@@ -640,3 +640,191 @@ def test_flat_score_mlp_parity():
         {"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out_f), out_t.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Composition parity: the reference's SAMPLING and LOSS code paths (not just
+# its networks) against this framework's, driven through the SAME converted
+# weights. The reference's conditional loops are not importable (their
+# modules import the upstream-missing ClwithTime classes, SURVEY.md §7.3);
+# sde_helper2's samplers/losses are, so they are cross-checked directly.
+# ---------------------------------------------------------------------------
+
+def _tiny_converted_unet(seed=21, dim=16, channels=3, mults=(1, 2)):
+    """A reference torch Unet + the converted flax LatentUNet, wrapped as
+    the two frameworks' ``score_fn(x, t)`` conventions (NCHW / NHWC)."""
+    import unet_model
+
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    torch.manual_seed(seed)
+    tnet = unet_model.Unet(dim=dim, channels=channels,
+                           dim_mults=mults).eval()
+    fnet = LatentUNet(dim=dim, channels=channels, dim_mults=mults)
+    params = load_torch_unet(tnet.state_dict(), len(mults))
+
+    def torch_score(x, t):
+        with torch.no_grad():
+            return tnet(x, t)
+
+    def jax_score(x, t):
+        return fnet.apply({"params": params}, x, t)
+
+    return torch_score, jax_score
+
+
+def test_uncond_sampler_trajectory_parity(monkeypatch):
+    """Reference ``uncond_sampler`` (sde_helper2.py:115-128) == this repo's
+    ``unconditional_sampler`` over a FULL 20-step reverse-VP trajectory
+    through the same converted UNet, with the Gaussian noise zeroed on both
+    sides (prior included), i.e. the deterministic mean path. Cross-checks
+    the dt/timestep conventions, reverse-drift composition, x_mean endpoint
+    semantics and the NHWC bridge through the reference's actual loop."""
+    import sde_helper2 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.samplers import (
+        unconditional_sampler,
+    )
+    from score_based_multimodal_autoencoder_tpu.diffusion.sde import VPSDE
+
+    torch_score, jax_score = _tiny_converted_unet(seed=21)
+    N = 20
+    tsde = ref.VPSDE(beta_min=0.1, beta_max=20, N=N)
+    fsde = VPSDE(N=N)
+
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.zeros_like(x))
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **k: torch.zeros(*s, **k))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    want = ref.uncond_sampler((2, 3, 8, 8), torch_score, "cpu", tsde,
+                              eps=1e-3, pc=False)
+    got = unconditional_sampler(jax.random.key(0), jax_score, fsde,
+                                (2, 8, 8, 3), eps=1e-3, pc=False)
+    _assert_close(got, want, atol=2e-3)
+
+
+def test_em_predictor_step_parity(monkeypatch):
+    """Reference ``em_predictor`` (sde_helper2.py:45-52) == this repo's
+    ``em_predictor_step`` for one step with the SAME injected non-zero
+    noise: covers the diffusion term, not just the drift."""
+    import sde_helper2 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.samplers import (
+        em_predictor_step,
+    )
+    from score_based_multimodal_autoencoder_tpu.diffusion.sde import VPSDE
+
+    torch_score, jax_score = _tiny_converted_unet(seed=22)
+    N = 30
+    tsde = ref.VPSDE(beta_min=0.1, beta_max=20, N=N)
+    fsde = VPSDE(N=N)
+
+    rng = np.random.RandomState(5)
+    x_nchw = rng.randn(2, 3, 8, 8).astype(np.float32)
+    z_nchw = rng.randn(2, 3, 8, 8).astype(np.float32)
+    t_np = np.array([0.4, 0.7], np.float32)
+
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.from_numpy(z_nchw))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.asarray(
+            z_nchw.transpose(0, 2, 3, 1), dtype))
+
+    x_t, xm_t = ref.em_predictor(torch.from_numpy(x_nchw),
+                                 torch.from_numpy(t_np), torch_score, tsde)
+    x_f, xm_f = em_predictor_step(
+        jax.random.key(0), jnp.asarray(x_nchw.transpose(0, 2, 3, 1)),
+        jnp.asarray(t_np), jax_score, fsde)
+    _assert_close(x_f, x_t, atol=2e-4)
+    _assert_close(xm_f, xm_t, atol=2e-4)
+
+
+def test_corrector_step_parity(monkeypatch):
+    """Reference ``corrector`` (sde_helper2.py:54-106) == this repo's
+    ``langevin_corrector_step`` for one Langevin step with the SAME
+    injected noise: covers the SNR step-size rule (batch-mean norms), the
+    DDPM-alpha lookup and the x/x_mean pair."""
+    import sde_helper2 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.samplers import (
+        langevin_corrector_step,
+    )
+    from score_based_multimodal_autoencoder_tpu.diffusion.sde import VPSDE
+
+    torch_score, jax_score = _tiny_converted_unet(seed=23)
+    N = 30
+    tsde = ref.VPSDE(beta_min=0.1, beta_max=20, N=N)
+    fsde = VPSDE(N=N)
+
+    rng = np.random.RandomState(7)
+    x_nchw = rng.randn(2, 3, 8, 8).astype(np.float32)
+    z_nchw = rng.randn(2, 3, 8, 8).astype(np.float32)
+    t_np = np.array([0.25, 0.9], np.float32)
+
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.from_numpy(z_nchw))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.asarray(
+            z_nchw.transpose(0, 2, 3, 1), dtype))
+
+    x_t, xm_t = ref.corrector(torch.from_numpy(x_nchw),
+                              torch.from_numpy(t_np), torch_score, tsde,
+                              n_steps=1, target_snr=0.16)
+    x_f, xm_f = langevin_corrector_step(
+        jax.random.key(0), jnp.asarray(x_nchw.transpose(0, 2, 3, 1)),
+        jnp.asarray(t_np), jax_score, fsde, n_steps=1, target_snr=0.16)
+    _assert_close(x_f, x_t, atol=2e-4)
+    _assert_close(xm_f, xm_t, atol=2e-4)
+
+
+@pytest.mark.parametrize("likelihood_weighting", [False, True])
+def test_dsm_loss_parity(monkeypatch, likelihood_weighting):
+    """Reference ``loss_fn`` (sde_helper2.py:152-186) == this repo's
+    ``dsm_loss`` with the SAME injected (t, z) draws and the same converted
+    net, for both the standard and the g^2-weighted objectives."""
+    import sde_helper2 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.losses import (
+        dsm_loss,
+    )
+    from score_based_multimodal_autoencoder_tpu.diffusion.sde import VPSDE
+
+    torch_score, jax_score = _tiny_converted_unet(seed=24)
+    tsde = ref.VPSDE(beta_min=0.1, beta_max=20, N=100)
+    fsde = VPSDE(N=100)
+
+    rng = np.random.RandomState(11)
+    batch_nchw = rng.rand(4, 3, 8, 8).astype(np.float32)
+    z_nchw = rng.randn(4, 3, 8, 8).astype(np.float32)
+    eps = 1e-5
+    t_np = rng.uniform(eps, 1.0, 4).astype(np.float32)
+    # reference draws u~U(0,1) then maps t = u*(T-eps)+eps
+    u_np = ((t_np - eps) / (tsde.T - eps)).astype(np.float32)
+
+    monkeypatch.setattr(torch, "rand",
+                        lambda *s, **k: torch.from_numpy(u_np))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **k: torch.from_numpy(z_nchw))
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), minval=0.0, maxval=1.0, **k: jnp.asarray(t_np))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.asarray(
+            z_nchw.transpose(0, 2, 3, 1), dtype))
+
+    want = ref.loss_fn(torch.from_numpy(batch_nchw), torch_score, tsde,
+                       reduce_mean=True,
+                       likelihood_weighting=likelihood_weighting, eps=eps)
+    got = dsm_loss(jax.random.key(0), jax_score, fsde,
+                   jnp.asarray(batch_nchw.transpose(0, 2, 3, 1)),
+                   reduce_mean=True,
+                   likelihood_weighting=likelihood_weighting,
+                   importance_sampling=False, eps=eps)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
