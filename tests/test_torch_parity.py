@@ -34,6 +34,30 @@ if "torchvision" not in sys.modules:
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.utils"] = tv_utils
 
+# Some reference modules (polymnist_dataset, train_celeba_diffvae) also do
+# ``from torchvision import transforms``; give the stub a transforms
+# submodule whose attributes are inert callables (only touched at runtime
+# by data pipelines these tests never drive).
+_tv = sys.modules["torchvision"]
+if getattr(_tv, "__sbmae_stub__", False) and not hasattr(_tv, "transforms"):
+    _tv_tr = types.ModuleType("torchvision.transforms")
+    _tv_tr.__getattr__ = lambda name: (lambda *a, **k: None)
+    _tv.transforms = _tv_tr
+    sys.modules["torchvision.transforms"] = _tv_tr
+
+# pytorch_fid/inception.py (imported by fid_upd10) SUBCLASSES
+# torchvision.models.inception.Inception{A,C,E} at import time; give the
+# stub inert nn.Module bases (never instantiated by these tests).
+if getattr(_tv, "__sbmae_stub__", False) and not hasattr(_tv.models,
+                                                         "inception"):
+    class _StubInceptionBlock(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    _tv.models.inception = types.SimpleNamespace(
+        InceptionA=_StubInceptionBlock, InceptionB=_StubInceptionBlock,
+        InceptionC=_StubInceptionBlock, InceptionE=_StubInceptionBlock)
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -828,3 +852,158 @@ def test_dsm_loss_parity(monkeypatch, likelihood_weighting):
                    likelihood_weighting=likelihood_weighting,
                    importance_sampling=False, eps=eps)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_annealed_gen_ae_parity(monkeypatch):
+    """Reference ``gen_ae`` (fid_upd10.py:56-110) == this repo's
+    ``annealed_langevin_sampler`` over the FULL 200-level x 20-iter
+    annealed-Langevin trajectory through the same converted sigma-indexed
+    UNet, noise zeroed on both sides. Identity "AEs" isolate the Langevin
+    loop (the ResAE encode/decode parity is covered separately); the score
+    net is scaled by 0.01 to keep the 4000-step mean path well-conditioned
+    under random weights."""
+    import fid_upd10 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.annealed import (
+        annealed_langevin_sampler,
+    )
+    from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
+
+    import unet_model
+
+    torch.manual_seed(25)
+    dim, channels, mults = 16, 2, (1, 2)
+    tnet = unet_model.Unet(dim=dim, channels=channels, dim_mults=mults).eval()
+    fnet = LatentUNet(dim=dim, channels=channels, dim_mults=mults)
+    params = load_torch_unet(tnet.state_dict(), len(mults))
+
+    class _Scaled(torch.nn.Module):
+        def __init__(self, net):
+            super().__init__()
+            self.net = net
+
+        def forward(self, x, t):
+            return self.net(x, t) * 0.01
+
+    class _IdentityAE(torch.nn.Module):
+        @staticmethod
+        def encoder(p):
+            return p
+
+        @staticmethod
+        def decoder(z):
+            return z
+
+    monkeypatch.setattr(
+        torch, "normal",
+        lambda mean=0, std=1, size=(), **k: torch.zeros(size))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    B, size_z = 2, 64
+    rng = np.random.RandomState(13)
+    p0 = rng.randn(B, size_z).astype(np.float32)
+    pae_dict = {"0": _IdentityAE(), "1": _IdentityAE()}
+    p = {"0": torch.from_numpy(p0), "1": torch.zeros(B, size_z)}
+    with torch.no_grad():
+        want = ref.gen_ae(_Scaled(tnet), pae_dict, "1", "01", p, B,
+                          "cpu", size_z)  # (B, 64): the predicted latent
+
+    def score_fn(x, idx, sig):
+        return fnet.apply({"params": params}, x,
+                          idx.astype(jnp.float32)) * 0.01
+
+    x_init = jnp.stack(
+        [jnp.asarray(p0.reshape(B, 8, 8)), jnp.zeros((B, 8, 8))], axis=-1)
+    # gen_ae's (er, c, iter) rule for len(predicted) != 10
+    # (fid_upd10.py:68-71) = this sampler's defaults.
+    out = annealed_langevin_sampler(
+        jax.random.key(0), score_fn, x_init,
+        jnp.array([False, True]), sigma_max=5.0, sigma_min=0.1,
+        n_levels=200, er=2e-3, c=0.5, iter_num=20)
+    got = np.asarray(out[..., 1]).reshape(B, size_z)
+    np.testing.assert_allclose(got, want.numpy(), rtol=5e-3, atol=1e-3)
+
+
+def test_ddpm_refiner_parity(monkeypatch):
+    """Reference DiffuseVAE refiner core (train_celeba_diffvae.py:67-113):
+    the module-level schedule tables, ``q_sample`` and ``diff_losses``
+    match this repo's DDPMSchedule/q_sample/ddpm_refiner_loss with the
+    SAME injected (t, noise) and the same converted tiny ADM UNet."""
+    import train_celeba_diffvae as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion import ddpm
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_adm_unet,
+    )
+    from score_based_multimodal_autoencoder_tpu.nn.unet_adm import ADMUNet
+
+    sched = ddpm.DDPMSchedule(timesteps=1000)
+    tab = sched.tables()
+    np.testing.assert_allclose(np.asarray(tab["betas"]),
+                               ref.betas.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tab["sqrt_recip_alphas"]),
+                               ref.sqrt_recip_alphas.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tab["sqrt_alphas_cumprod"]),
+                               ref.sqrt_alphas_cumprod.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tab["sqrt_1m_alphas_cumprod"]),
+        ref.sqrt_one_minus_alphas_cumprod.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tab["posterior_variance"]),
+                               ref.posterior_variance.numpy(),
+                               rtol=1e-4, atol=1e-9)
+
+    import unet_openai
+
+    torch.manual_seed(26)
+    kw = dict(in_channels=6, model_channels=32, out_channels=3,
+              num_res_blocks=1, attention_resolutions=(2,),
+              channel_mult=(1, 2), num_heads=1)
+    tnet = unet_openai.UNetModel(dropout=0.0, **kw).eval()
+    variables = {"params": load_torch_adm_unet(
+        tnet.state_dict(), kw["model_channels"], kw["num_res_blocks"],
+        kw["channel_mult"], kw["attention_resolutions"], kw["num_heads"])}
+    fnet = ADMUNet(**kw)
+
+    rng = np.random.RandomState(17)
+    B = 2
+    x0_nchw = rng.rand(B, 3, 8, 8).astype(np.float32) * 2 - 1
+    cond_nchw = rng.rand(B, 3, 8, 8).astype(np.float32) * 2 - 1
+    noise_nchw = rng.randn(B, 3, 8, 8).astype(np.float32)
+    t_np = np.array([17, 940], np.int64)
+
+    # q_sample with the same injected noise.
+    want_q = ref.q_sample(torch.from_numpy(x0_nchw),
+                          torch.from_numpy(t_np),
+                          noise=torch.from_numpy(noise_nchw))
+    got_q = ddpm.q_sample(sched, jnp.asarray(x0_nchw.transpose(0, 2, 3, 1)),
+                          jnp.asarray(t_np),
+                          jnp.asarray(noise_nchw.transpose(0, 2, 3, 1)))
+    _assert_close(got_q, want_q, atol=1e-5)
+
+    # diff_losses with the same injected (t, noise) and converted net.
+    def torch_denoise(x, t):
+        with torch.no_grad():
+            return tnet(x, t)
+
+    want = ref.diff_losses(torch_denoise, torch.from_numpy(x0_nchw),
+                           torch.from_numpy(cond_nchw),
+                           torch.from_numpy(t_np),
+                           noise=torch.from_numpy(noise_nchw))
+    monkeypatch.setattr(
+        jax.random, "randint",
+        lambda key, shape, minval, maxval, **k: jnp.asarray(t_np))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.asarray(
+            noise_nchw.transpose(0, 2, 3, 1), dtype))
+
+    def jax_denoise(x, t):
+        return fnet.apply(variables, x, t.astype(jnp.float32))
+
+    got = ddpm.ddpm_refiner_loss(
+        jax.random.key(0), jax_denoise, sched,
+        jnp.asarray(x0_nchw.transpose(0, 2, 3, 1)),
+        jnp.asarray(cond_nchw.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(float(got), float(want), rtol=5e-4)
