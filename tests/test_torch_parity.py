@@ -1007,3 +1007,102 @@ def test_ddpm_refiner_parity(monkeypatch):
         jnp.asarray(x0_nchw.transpose(0, 2, 3, 1)),
         jnp.asarray(cond_nchw.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(float(got), float(want), rtol=5e-4)
+
+
+def test_mopoe_forward_and_cond_gen_parity(monkeypatch):
+    """Reference MOPOEPolyRes.forward / cond_gen (mopoe_model.py:364-467)
+    == MixtureMultimodalVAE.forward_mopoe / cond_gen with identical
+    injected reparametrization noise and subset permutation: cross-checks
+    the masked-matmul powerset PoE (prior expert on the full subset only,
+    singleton bypass), the block-stratified mixture selection, and the
+    conditional within-subset selection against the reference's actual
+    Python-loop implementation."""
+    import mopoe_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mixture import (
+        MixtureMultimodalVAE,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mixture_vaes,
+    )
+
+    torch.manual_seed(27)
+    enc = [(8, 16, 16, 2), (16, 32, 32, 2)]
+    dec = [(32, 16, 16, 2), (16, 16, 16, 2)]
+    n_mod, B, size_z = 2, 8, 16
+    S = 3  # non-empty subsets of 2 modalities: (0,), (1,), (0, 1)
+    tnet = ref.MOPOEPolyRes(n_mod, enc, dec, size_z=size_z, size_in=32,
+                            img_ch=3).eval()
+    variables = load_torch_mixture_vaes(tnet.state_dict(), n_mod, enc, dec,
+                                        size_in=32, size_z=size_z)
+    fnet = MixtureMultimodalVAE(
+        n_mod, tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+        size_in=32, size_z=size_z, img_ch=3)
+
+    rng = np.random.RandomState(19)
+    # One noise row per powerset subset, in the reference's
+    # combinations-by-size order (= powerset_masks order).
+    noise_all = rng.randn(S, B, size_z).astype(np.float32)
+    perm = np.array([2, 0, 1])
+
+    calls = {"i": 0}
+
+    def fake_torch_normal(mean=0, std=1, size=(), **k):
+        out = torch.from_numpy(noise_all[calls["i"] % S])
+        calls["i"] += 1
+        return out
+
+    g = np.empty(S, np.float32)
+    g[perm] = np.arange(S, 0, -1)  # gumbel-top-k order == perm
+
+    monkeypatch.setattr(torch, "normal", fake_torch_normal)
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **k: torch.from_numpy(perm[:n]))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.asarray(noise_all))
+    monkeypatch.setattr(
+        jax.random, "permutation",
+        lambda key, x, **k: jnp.asarray(perm))
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), **k: jnp.asarray(g))
+
+    x = torch.rand(n_mod, B, 3, 32, 32)
+    x_f = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+
+    # forward: powerset PoE + stratified mixture.
+    calls["i"] = 0
+    with torch.no_grad():
+        outs_t, mus_t, logvars_t = tnet(list(x), sample_len=32)
+    outs_f, poe_mu_f, poe_logvar_f = fnet.apply(
+        variables, x_f, jax.random.key(0), 32, False,
+        method=fnet.forward_mopoe)
+    for s in range(S):
+        np.testing.assert_allclose(np.asarray(poe_mu_f[s]),
+                                   mus_t[s].numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(poe_logvar_f[s]),
+                                   logvars_t[s].numpy(), rtol=1e-3,
+                                   atol=1e-4)
+    for m in range(n_mod):
+        _assert_close(outs_f[m], outs_t[m], atol=2e-4)
+
+    # cond_gen, singleton given-set (reference's no-powerset branch).
+    calls["i"] = 0
+    with torch.no_grad():
+        outs_t = tnet.cond_gen([0], list(x))
+    outs_f = fnet.apply(variables, x_f, jnp.array([True, False]),
+                        jax.random.key(0), "mopoe", 32, False,
+                        method=fnet.cond_gen)
+    for m in range(n_mod):
+        _assert_close(outs_f[m], outs_t[m], atol=2e-4)
+
+    # cond_gen, full given-set (powerset-within branch).
+    calls["i"] = 0
+    with torch.no_grad():
+        outs_t = tnet.cond_gen([0, 1], list(x))
+    outs_f = fnet.apply(variables, x_f, jnp.array([True, True]),
+                        jax.random.key(0), "mopoe", 32, False,
+                        method=fnet.cond_gen)
+    for m in range(n_mod):
+        _assert_close(outs_f[m], outs_t[m], atol=2e-4)
