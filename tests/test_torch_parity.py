@@ -1106,3 +1106,138 @@ def test_mopoe_forward_and_cond_gen_parity(monkeypatch):
                         method=fnet.cond_gen)
     for m in range(n_mod):
         _assert_close(outs_f[m], outs_t[m], atol=2e-4)
+
+
+def test_mixture_forwards_and_losses_parity(monkeypatch):
+    """Reference MMVAEPolyRes / MVPolyRes / MVTPolyRes forwards
+    (mopoe_model.py:470-726) AND the trainer losses
+    (train_psm_upd_mopoe_an.py:38-109) == MixtureMultimodalVAE's
+    forward_mmvae/forward_mvae/forward_mvt + models.baselines.losses with
+    identical injected reparametrization noise: (rec, kl) scalars match the
+    reference loss functions run on the reference forwards."""
+    import mopoe_model as ref
+    import train_psm_upd_mopoe_an as ref_losses
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines import (
+        losses as fl,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mixture import (
+        MixtureMultimodalVAE,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mixture_vaes,
+    )
+
+    enc = [(8, 16, 16, 2), (16, 32, 32, 2)]
+    dec = [(32, 16, 16, 2), (16, 16, 16, 2)]
+    n_mod, B, size_z = 2, 8, 16
+    rng = np.random.RandomState(23)
+    noise = [rng.randn(B, size_z).astype(np.float32) for _ in range(4)]
+    x = torch.rand(n_mod, B, 3, 32, 32)
+    x_f = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+
+    # Noise scripts: reference consumes (B, z) draws per reparametrize call
+    # in forward order; ours consumes stacked draws (see each branch).
+    torch_calls = {"i": 0}
+
+    def fake_torch_normal(mean=0, std=1, size=(), **k):
+        out = torch.from_numpy(noise[torch_calls["i"]])
+        torch_calls["i"] += 1
+        return out
+
+    jax_script = {"seq": [], "i": 0}
+
+    def fake_jax_normal(key, shape=(), dtype=jnp.float32):
+        out = jnp.asarray(jax_script["seq"][jax_script["i"]], dtype)
+        jax_script["i"] += 1
+        return out
+
+    monkeypatch.setattr(torch, "normal", fake_torch_normal)
+    monkeypatch.setattr(jax.random, "normal", fake_jax_normal)
+
+    ind_stack = np.stack(noise[:2])  # (2, B, z)
+
+    # ---- MMVAE: block-partitioned mixture + sum losses ------------------
+    torch.manual_seed(31)
+    tnet = ref.MMVAEPolyRes(n_mod, enc, dec, size_z=size_z, size_in=32,
+                            img_ch=3).eval()
+    variables = load_torch_mixture_vaes(tnet.state_dict(), n_mod, enc, dec,
+                                        size_in=32, size_z=size_z)
+    fnet = MixtureMultimodalVAE(
+        n_mod, tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+        size_in=32, size_z=size_z, img_ch=3)
+
+    torch_calls["i"] = 0
+    with torch.no_grad():
+        outs_t, mus_t, logvars_t = tnet(list(x))
+        rec_t = ref_losses.total_rec_loss(outs_t, list(x))
+        kl_t = ref_losses.total_kl_loss(mus_t, logvars_t)
+    jax_script.update(seq=[ind_stack], i=0)
+    outs_f, mus_f, logvars_f = fnet.apply(
+        variables, x_f, jax.random.key(0), False, method=fnet.forward_mmvae)
+    for m in range(n_mod):
+        _assert_close(outs_f[m], outs_t[m], atol=2e-4)
+    rec_f = fl.total_rec_loss(outs_f, x_f)
+    kl_f = fl.total_kl_loss(mus_f, logvars_f)
+    np.testing.assert_allclose(float(rec_f), float(rec_t), rtol=1e-4)
+    np.testing.assert_allclose(float(kl_f), float(kl_t), rtol=1e-4)
+
+    # ---- MVAE: subsampled ELBO terms + mvae_loss -------------------------
+    torch.manual_seed(32)
+    tnet = ref.MVPolyRes(n_mod, enc, dec, size_z=size_z, size_in=32,
+                         img_ch=3).eval()
+    variables = load_torch_mixture_vaes(tnet.state_dict(), n_mod, enc, dec,
+                                        size_in=32, size_z=size_z)
+    torch_calls["i"] = 0
+    with torch.no_grad():
+        elbo_t = tnet(list(x))
+        rec_t, kl_t = ref_losses.mvae_loss(elbo_t, list(x))
+    # our call order: individual (2,B,z), joint (B,z), k-subset (B,z);
+    # with n_mod=2 the reference's k subset is deterministically [0, 1].
+    jax_script.update(seq=[ind_stack, noise[2], noise[3]], i=0)
+    elbo_f = fnet.apply(variables, x_f, jax.random.key(0), False,
+                        method=fnet.forward_mvae)
+    rec_f, kl_f = fl.mvae_loss(elbo_f, x_f)
+    np.testing.assert_allclose(float(rec_f), float(rec_t), rtol=1e-4)
+    np.testing.assert_allclose(float(kl_f), float(kl_t), rtol=1e-4)
+
+    # ---- MVTCAE: CVIB loss ------------------------------------------------
+    torch.manual_seed(33)
+    tnet = ref.MVTPolyRes(n_mod, enc, dec, size_z=size_z, size_in=32,
+                          img_ch=3).eval()
+    variables = load_torch_mixture_vaes(tnet.state_dict(), n_mod, enc, dec,
+                                        size_in=32, size_z=size_z)
+    torch_calls["i"] = 0
+    with torch.no_grad():
+        elbo_t = tnet(list(x))
+        rec_t, kl_t = ref_losses.mvt_loss(elbo_t, list(x))
+    # reference draws ind0, ind1 (recons unused by mvt_loss), then the
+    # joint z = noise[2]; ours draws the joint only.
+    jax_script.update(seq=[noise[2]], i=0)
+    elbo_f = fnet.apply(variables, x_f, jax.random.key(0), False,
+                        method=fnet.forward_mvt)
+    rec_f, kl_f = fl.mvt_loss(elbo_f, x_f)
+    np.testing.assert_allclose(float(rec_f), float(rec_t), rtol=1e-4)
+    np.testing.assert_allclose(float(kl_f), float(kl_t), rtol=1e-4)
+
+
+def test_importance_time_bisection_parity(monkeypatch):
+    """Reference sample_importance_weighted_time_for_likelihood
+    (sde_helper2.py:138-150, host jnp bisection) == this repo's fused
+    on-device bisection for the SAME quantiles."""
+    import sde_helper2 as ref
+
+    from score_based_multimodal_autoencoder_tpu.diffusion.losses import (
+        sample_importance_weighted_time,
+    )
+
+    Z = float(ref.likelihood_importance_cum_weight(1.0, 0.1, 20.0))
+    q = (np.linspace(0.05, 0.95, 7) * Z).astype(np.float32)
+    want = np.asarray(ref.sample_importance_weighted_time_for_likelihood(
+        7, 0.1, 20.0, quantile=q))
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), minval=0.0, maxval=1.0, **k: jnp.asarray(q))
+    got = np.asarray(sample_importance_weighted_time(
+        jax.random.key(0), 7, 0.1, 20.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
