@@ -1241,3 +1241,112 @@ def test_importance_time_bisection_parity(monkeypatch):
     got = np.asarray(sample_importance_weighted_time(
         jax.random.key(0), 7, 0.1, 20.0))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mmplus_iwae_dreg_parity(monkeypatch):
+    """Reference MMVAE+ K-sample estimators (train_cel_upd_mopoe_an.py:
+    63-168: m_iwae value; m_dreg value AND its latent-cotangent hook, via
+    input gradients) == this repo's mmplus_losses.m_iwae/m_dreg on the
+    converted model with identical scripted Laplace draws. The DReG input
+    gradient exercises the custom_vjp grad-scaling end to end (encoder <-
+    hooked latents <- decoder/prior/posterior paths)."""
+    import mmplus_model as ref
+    import train_cel_upd_mopoe_an as ref_est
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus import (
+        MMVAEPlus,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus_losses import (
+        m_dreg,
+        m_iwae,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mmplus,
+    )
+
+    torch.manual_seed(37)
+    params = types.SimpleNamespace(
+        n_mod=2, latent_dim_w=4, latent_dim_z=4,
+        learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
+        no_cuda=True, beta=1.0)
+    tnet = ref.PolyMNIST_10modalities(params).eval()
+    enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
+    dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
+    variables = load_torch_mmplus(tnet.state_dict(), 2, enc, dec,
+                                  size_in=32, dim_u=8)
+    fnet = MMVAEPlus(n_mod=2, latent_dim_w=4, latent_dim_z=4, arch="res")
+
+    B, K = 4, 1
+    rng = np.random.RandomState(29)
+    # Scripted standard-Laplace draws, derived from the same uniforms on
+    # both sides (x = loc - scale * sign(u) * log1p(-2|u|)).
+    u_us = (rng.rand(K, 2, B, 8).astype(np.float32) - 0.5) * 0.98
+    u_w = (rng.rand(2, K, B, 4).astype(np.float32) - 0.5) * 0.98
+
+    def _eps(u):
+        return -np.sign(u) * np.log1p(-2 * np.abs(u))
+
+    eps_us, eps_w = _eps(u_us), _eps(u_w)
+    # torch draw order (MMVAE.forward, mmplus_model.py:50-77): posterior
+    # rsample per modality, then a fresh prior-w per source row.
+    tscript = [eps_us[:, 0], eps_us[:, 1],
+               eps_w[0][:, :, None, :], eps_w[1][:, :, None, :]]
+    tcall = {"i": 0}
+
+    def fake_rsample(self, sample_shape=torch.Size()):
+        e = torch.from_numpy(tscript[tcall["i"]])
+        tcall["i"] += 1
+        return self.loc + self.scale * e
+
+    monkeypatch.setattr(torch.distributions.Laplace, "rsample", fake_rsample)
+
+    jscript = [u_us, u_w]
+    jcall = {"i": 0}
+
+    def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0,
+                     maxval=1.0, **k):
+        out = jnp.asarray(jscript[jcall["i"]], dtype)
+        jcall["i"] += 1
+        return out
+
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+
+    x0 = torch.rand(B, 3, 32, 32)
+    x1 = torch.rand(B, 3, 32, 32)
+    x_f = jnp.asarray(np.stack([x0.numpy(), x1.numpy()])
+                      .transpose(0, 1, 3, 4, 2))
+
+    # IWAE value.
+    tcall["i"] = 0
+    with torch.no_grad():
+        want = ref_est.m_iwae(tnet, [x0, x1], K=K)
+    jcall["i"] = 0
+    out = fnet.apply(variables, x_f, jax.random.key(0), K, False)
+    got = m_iwae(out, x_f, beta=1.0, latent_dim_w=4)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+    # DReG value + input gradient (the latent-cotangent hook).
+    x0g = x0.clone().requires_grad_(True)
+    x1g = x1.clone().requires_grad_(True)
+    tcall["i"] = 0
+    val_t = ref_est.m_dreg(tnet, [x0g, x1g], K=K)
+    val_t.backward()
+    grad_t = np.stack([x0g.grad.numpy(), x1g.grad.numpy()])
+
+    def jloss(x_in):
+        out = fnet.apply(variables, x_in, jax.random.key(0), K, False)
+
+        def decode_fn(us, fresh_w):
+            return fnet.apply(variables, us, fresh_w, False,
+                              method=fnet.decode_matrix)
+
+        return m_dreg(out, x_in, beta=1.0, latent_dim_w=4,
+                      decode_fn=decode_fn)
+
+    jcall["i"] = 0
+    val_f, grad_f = jax.value_and_grad(jloss)(x_f)
+    np.testing.assert_allclose(float(val_f), float(val_t.detach()),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grad_f).transpose(0, 1, 4, 2, 3), grad_t,
+        rtol=1e-3, atol=2e-3)
