@@ -225,3 +225,34 @@ def test_vae_fleet_steps_per_dispatch_equivalent():
                     jax.tree_util.tree_leaves(fused["state"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_score_trainer_dp_plus_steps_per_dispatch_equivalent():
+    """The production multi-chip configuration - DP mesh AND fused
+    multi-step dispatch together (the _stacked_sharding path: the (K, ...)
+    batch stack sharded on 'data' one axis later) - matches the
+    single-device per-step trajectory."""
+    from score_based_multimodal_autoencoder_tpu.parallel import VAEFleet
+    from score_based_multimodal_autoencoder_tpu.parallel.mesh import make_mesh
+    from score_based_multimodal_autoencoder_tpu.train.trainer import (
+        train_score_model,
+    )
+    from score_based_multimodal_autoencoder_tpu.data import synthetic_polymnist
+
+    ds = synthetic_polymnist(n=20, n_mod=2, size=16, seed=0)
+    vae = _tiny_vae()
+    fleet = VAEFleet(vae, 2, optax.adam(1e-3))
+    fleet_state = fleet.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
+    sde = VPSDE(N=10)
+
+    def run(**kw):
+        model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+        return train_score_model(
+            model, sde, fleet, fleet_state, ds.images, 4,
+            lr=1e-3, batch_size=8, epochs=2, likelihood_weighting=False,
+            seed=3, ema_decay=0.99, **kw)
+
+    ref = run()
+    dp_fused = run(mesh=make_mesh(), steps_per_dispatch=2)
+    np.testing.assert_allclose(ref["history"], dp_fused["history"],
+                               rtol=1e-4, atol=1e-6)
