@@ -1350,3 +1350,33 @@ def test_mmplus_iwae_dreg_parity(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(grad_f).transpose(0, 1, 4, 2, 3), grad_t,
         rtol=1e-3, atol=2e-3)
+
+
+def test_frechet_distance_parity():
+    """Reference pytorch_fid calculate_frechet_distance (fid_score.py:
+    176-230) == eval.frechet.frechet_distance on random moment pairs,
+    including a singular-covariance case that trips the eps fallback."""
+    from pytorch_fid.fid_score import calculate_frechet_distance
+
+    from score_based_multimodal_autoencoder_tpu.eval.frechet import (
+        frechet_distance,
+    )
+
+    rng = np.random.RandomState(31)
+    d = 16
+    for trial in range(3):
+        a = rng.randn(d, 2 * d)
+        b = rng.randn(d, 2 * d)
+        mu1, mu2 = rng.randn(d), rng.randn(d)
+        s1, s2 = a @ a.T / (2 * d), b @ b.T / (2 * d)
+        want = calculate_frechet_distance(mu1, s1, mu2, s2)
+        got = frechet_distance(mu1, s1, mu2, s2)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # Singular covariances (rank-deficient) -> the eps-offset branch.
+    a = rng.randn(d, 3)
+    s_sing = a @ a.T
+    want = calculate_frechet_distance(np.zeros(d), s_sing,
+                                      np.ones(d), s_sing)
+    got = frechet_distance(np.zeros(d), s_sing, np.ones(d), s_sing)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
