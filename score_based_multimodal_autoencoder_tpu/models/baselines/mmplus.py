@@ -14,7 +14,10 @@ Key reference semantics kept:
   is optionally learnable (learn_prior_w, mmplus_model.py:264-270).
 - Cross-modal matrix: row e = latents from modality e, column d = decoder
   d; off-diagonals resample w from the prior (mmvaeplus variant,
-  mmplus_model.py:59-72).
+  mmplus_model.py:59-72). Deliberate batching deviation: the reference
+  draws a fresh w per off-diagonal CELL; here one draw per source ROW is
+  shared across its destinations (same expectation per importance weight,
+  different MC coupling within a row; static draw count under vmap).
 
 All n_mod encoders/decoders are nn.vmap-stacked; the full n_mod x n_mod
 cross matrix is computed as one stacked decode.

@@ -8,8 +8,17 @@ matrix is built with static Python loops over the modality list (n_mod=3)
 instead of a vmapped stack, and reconstructions have per-modality shapes.
 
 The K-sample losses are re-derived here over the nested reconstruction
-structure (same math as mmplus_losses._log_weights; decoder Laplace scale
-0.75 per modality as in mmplus_model_cel.py).
+structure (same math as mmplus_losses._log_weights). Likelihoods follow
+the reference per modality: Laplace(mean, 0.75) for image/mask, BERNOULLI
+for the attribute vector (PolyCeleb 'att' branch passes dist.Bernoulli,
+mmplus_model_cel.py:407-411).
+
+One deliberate batching deviation: the reference draws a fresh prior-w
+per off-diagonal CELL (one pw.rsample per (src, dst) pair,
+mmplus_model.py:59-72); here one fresh w is drawn per source ROW and
+shared across its destinations. Each cell's w is still a prior draw, so
+every importance weight has the same expectation - only the MC coupling
+across a row differs - and the draw count stays static under vmap.
 """
 
 from __future__ import annotations
@@ -153,8 +162,17 @@ def m_iwae_het(model_out, inputs, *, beta: float = 1.0, latent_dim_w: int = 128,
     for e in range(n_mod):
         row = 0.0
         for d in range(n_mod):
-            ll = laplace_log_prob(
-                recon[e][d], jnp.asarray(inputs[d])[None], dec_scale)
+            r = recon[e][d]
+            x_d = jnp.asarray(inputs[d])[None]
+            if r.ndim <= 3:
+                # Attribute modality: the reference's likelihood is
+                # BERNOULLI, not Laplace (PolyCeleb 'att' branch,
+                # mmplus_model_cel.py:407-411, "was laplace"); our
+                # AttributeVAE decoder emits logits, so
+                # log p = x*logit - softplus(logit).
+                ll = x_d * r - jax.nn.softplus(r)
+            else:
+                ll = laplace_log_prob(r, x_d, dec_scale)
             row = row + ll.reshape(K, B, -1).sum(-1)
         rows.append(row)
     lpx = jnp.stack(rows)  # (n_mod, K, B)

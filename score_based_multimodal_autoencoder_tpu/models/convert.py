@@ -454,6 +454,52 @@ def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
             "batch_stats": {"encs": encs["s"], "decs": decs["s"]}}
 
 
+def load_torch_mmplus_het(state_dict, img_enc, img_dec, mask_enc, mask_dec,
+                          size_in: int = 128):
+    """Reference ``MMPLUSCeleba`` state_dict (mmplus_model_cel.py:473-519;
+    modality nets :197-471) -> ``HeterogeneousMMVAEPlus`` variables over
+    (celeba_image_vae, celeba_mask_vae, AttributeVAE) modules.
+
+    vaes.{0,1} wrap ResEncoderN (``enc.enc``) and z_lin+ReLU+ResDecoderN
+    (``dec.z_lin``, ``dec.dec_``) - the composition of this repo's flax
+    ResVAE(variant='celeb'); vaes.2 is the Linear/BatchNorm1d attribute
+    pair (same stack as CelebAAttrNewBN). The w-prior raw scale converts
+    from the tied per-modality ``_pw_params``."""
+    params: dict = {}
+    stats: dict = {}
+    for i, (enc_l, dec_l) in ((0, (img_enc, img_dec)),
+                              (1, (mask_enc, mask_dec))):
+        pseudo = {}
+        pe, pd, pz = (f"vaes.{i}.enc.enc.", f"vaes.{i}.dec.dec_.",
+                      f"vaes.{i}.dec.z_lin.")
+        for k, v in state_dict.items():
+            if k.startswith(pe):
+                pseudo["enc." + k[len(pe):]] = v
+            elif k.startswith(pd):
+                pseudo["dec." + k[len(pd):]] = v
+            elif k.startswith(pz):
+                pseudo["z_lin." + k[len(pz):]] = v
+        enc_p, enc_s = _res_encoder(pseudo, "enc.", enc_l, size_in)
+        dec_p, dec_s = _res_decoder(pseudo, "dec.", "z_lin", dec_l, size_in)
+        params[f"modality_modules_{i}"] = {"enc": enc_p, "dec": dec_p}
+        stats[f"modality_modules_{i}"] = {"enc": enc_s, "dec": dec_s}
+
+    sub = {}
+    for k, v in state_dict.items():
+        if k.startswith("vaes.2.enc."):
+            sub[k[len("vaes.2.enc."):]] = v
+        elif k.startswith("vaes.2.dec."):
+            sub[k[len("vaes.2.dec."):]] = v
+    attr = load_torch_attr_vae(sub)
+    params["modality_modules_2"] = attr["params"]
+    stats["modality_modules_2"] = attr["batch_stats"]
+
+    pw = state_dict.get("vaes.0._pw_params.1")
+    params["pw_raw"] = (jnp.asarray(_np(pw)) if pw is not None
+                        else jnp.zeros((1, 1)))
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------------------------------------------------
 # Contrastive representation encoders (h_vae_model.py CelImgRep / CelMaskRep
 # / CelAttrRep) -> nn/contrastive.py

@@ -1380,3 +1380,106 @@ def test_frechet_distance_parity():
                                       np.ones(d), s_sing)
     got = frechet_distance(np.zeros(d), s_sing, np.ones(d), s_sing)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_mmplus_het_iwae_dreg_parity(monkeypatch):
+    """Reference MMPLUSCeleba (mmplus_model_cel.py:473-519; heterogeneous
+    image/mask/attr nets :197-471, BERNOULLI attr likelihood :407-411) with
+    the generic estimators (train_cel_upd_mopoe_an.py:63-168) == this
+    repo's HeterogeneousMMVAEPlus + m_iwae_het/m_dreg_het after
+    load_torch_mmplus_het, with scripted Laplace draws (the reference's
+    per-CELL fresh-w draws are scripted equal within each source row to
+    match this repo's per-row sharing - a documented batching choice)."""
+    import mmplus_model_cel as ref
+    import train_cel_upd_mopoe_an as ref_est
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus_het import (
+        HeterogeneousMMVAEPlus,
+        m_dreg_het,
+        m_iwae_het,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mmplus_het,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.vae import (
+        AttributeVAE,
+        celeba_image_vae,
+        celeba_mask_vae,
+    )
+
+    torch.manual_seed(41)
+    params = types.SimpleNamespace(
+        n_mod=3, latent_dim_w=4, latent_dim_z=4,
+        learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
+        no_cuda=True, beta=1.0)
+    tnet = ref.MMPLUSCeleba(params).eval()
+
+    img_enc = [(64, 128, 128, 2), (128, 256, 256, 2), (256, 512, 512, 2)]
+    img_dec = [(512, 512, 256, 2), (256, 256, 128, 2), (128, 128, 64, 2)]
+    mask_enc = [(64, 128, 128, 4), (128, 256, 256, 4)]
+    mask_dec = [(256, 256, 128, 4), (128, 128, 64, 4)]
+    variables = load_torch_mmplus_het(tnet.state_dict(), img_enc, img_dec,
+                                      mask_enc, mask_dec, size_in=128)
+    fnet = HeterogeneousMMVAEPlus(
+        modality_modules=(celeba_image_vae(8, size_in=128),
+                          celeba_mask_vae(8, size_in=128),
+                          AttributeVAE(size_z=8, att_size=18)),
+        latent_dim_w=4, latent_dim_z=4)
+
+    B, K = 2, 1
+    rng = np.random.RandomState(43)
+    u_us = (rng.rand(K, 3, B, 8).astype(np.float32) - 0.5) * 0.98
+    u_w = (rng.rand(3, K, B, 4).astype(np.float32) - 0.5) * 0.98
+
+    def _eps(u):
+        return -np.sign(u) * np.log1p(-2 * np.abs(u))
+
+    eps_us, eps_w = _eps(u_us), _eps(u_w)
+    # torch order: 3 posterior rsamples, then 2 fresh-w per source row
+    # (per off-diagonal cell) - scripted EQUAL within a row.
+    tscript = [eps_us[:, 0], eps_us[:, 1], eps_us[:, 2]]
+    for e in range(3):
+        tscript += [eps_w[e][:, :, None, :]] * 2
+    tcall = {"i": 0}
+
+    def fake_rsample(self, sample_shape=torch.Size()):
+        e = torch.from_numpy(tscript[tcall["i"]])
+        tcall["i"] += 1
+        return self.loc + self.scale * e
+
+    monkeypatch.setattr(torch.distributions.Laplace, "rsample", fake_rsample)
+
+    jscript = [u_us, u_w]
+    jcall = {"i": 0}
+
+    def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0,
+                     maxval=1.0, **k):
+        out = jnp.asarray(jscript[jcall["i"]], dtype)
+        jcall["i"] += 1
+        return out
+
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+
+    img = torch.rand(B, 3, 128, 128)
+    mask = torch.rand(B, 1, 128, 128)
+    attr = (torch.rand(B, 18) > 0.5).float()
+    x_t = [img, mask, attr]
+    x_f = [jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+           jnp.asarray(mask.numpy().transpose(0, 2, 3, 1)),
+           jnp.asarray(attr.numpy())]
+
+    tcall["i"] = 0
+    with torch.no_grad():
+        want_iwae = ref_est.m_iwae(tnet, x_t, K=K)
+        tcall["i"] = 0
+        want_dreg = ref_est.m_dreg(tnet, x_t, K=K)
+
+    jcall["i"] = 0
+    out = fnet.apply(variables, x_f, jax.random.key(0), K, False)
+    got_iwae = m_iwae_het(out, x_f, beta=1.0, latent_dim_w=4)
+    np.testing.assert_allclose(float(got_iwae), float(want_iwae), rtol=1e-4)
+
+    got_dreg = m_dreg_het(fnet, variables, out, x_f, beta=1.0,
+                          latent_dim_w=4, train=False)
+    np.testing.assert_allclose(float(got_dreg), float(want_dreg.detach()),
+                               rtol=1e-4)
