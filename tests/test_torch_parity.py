@@ -1483,3 +1483,31 @@ def test_mmplus_het_iwae_dreg_parity(monkeypatch):
                           latent_dim_w=4, train=False)
     np.testing.assert_allclose(float(got_dreg), float(want_dreg.detach()),
                                rtol=1e-4)
+
+
+def test_het_rec_loss_parity():
+    """Reference CelebA recon loss (train_cel_upd_mopoe_an.py:177-196:
+    sum-MSE per image modality + BCE-with-logits for the LAST/attr
+    modality) == cli.train_baseline._het_rec_loss on random tensors."""
+    import train_cel_upd_mopoe_an as ref
+
+    from score_based_multimodal_autoencoder_tpu.cli.train_baseline import (
+        _het_rec_loss,
+    )
+
+    rng = np.random.RandomState(47)
+    B = 4
+    outs_t = [torch.from_numpy(rng.rand(B, 3, 8, 8).astype(np.float32)),
+              torch.from_numpy(rng.rand(B, 1, 8, 8).astype(np.float32)),
+              torch.from_numpy(rng.randn(B, 18).astype(np.float32))]
+    ins_t = [torch.from_numpy(rng.rand(B, 3, 8, 8).astype(np.float32)),
+             torch.from_numpy(rng.rand(B, 1, 8, 8).astype(np.float32)),
+             torch.from_numpy((rng.rand(B, 18) > 0.5)
+                              .astype(np.float32))]
+    want = ref.total_rec_loss(outs_t, ins_t)
+    outs_f = [jnp.asarray(o.numpy().transpose(0, 2, 3, 1))
+              if o.ndim == 4 else jnp.asarray(o.numpy()) for o in outs_t]
+    ins_f = [jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+             if x.ndim == 4 else jnp.asarray(x.numpy()) for x in ins_t]
+    got = _het_rec_loss(outs_f, ins_f)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
