@@ -662,3 +662,69 @@ def load_torch_flat_score(state_dict):
               for i in range(n_layers - 1)}
     params["out"] = _dense(sd, f"layers.{2 * (n_layers - 1)}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical VAE (h_vae_model.py HVAE -> models/hvae.py)
+# ---------------------------------------------------------------------------
+
+def _hvae_rblock(sd, prefix):
+    """h_vae_model.RBlock (h_vae_model.py:7-39: 1x1/3x3/3x3/1x1 Sequential at
+    conv.{0,2,4,6} + optional size_conv) -> models/hvae.py HRBlock params."""
+    p = {f"conv{i + 1}": _conv(sd, f"{prefix}conv.{2 * i}") for i in range(4)}
+    # The torch block always CREATES size_conv but only APPLIES it when
+    # in_width != out_width (h_vae_model.py:31-33); map it only when the
+    # mapped widths differ (flax creates it lazily).
+    w1 = _np(sd[f"{prefix}conv.0.weight"])  # (mid, in, 1, 1)
+    w4 = _np(sd[f"{prefix}conv.6.weight"])  # (out, mid, 1, 1)
+    if w1.shape[1] != w4.shape[0]:
+        p["size_conv"] = _conv(sd, f"{prefix}size_conv")
+    return p
+
+
+def _hvae_tblock(sd, prefix):
+    """h_vae_model.TBlock (h_vae_model.py:42-97) -> models/hvae.py TBlock."""
+    p = {}
+    for tname, fname in (("conv_pr", "pr"), ("conv_q", "q")):
+        for i in range(4):
+            p[f"{fname}{i + 1}"] = _conv(sd, f"{prefix}{tname}.{2 * i}")
+    p["conv_z"] = _conv(sd, f"{prefix}conv_z")
+    p["r_block"] = _hvae_rblock(sd, f"{prefix}r_block.")
+    return p
+
+
+def load_torch_hvae(state_dict, enc_channel_list, dec_channel_list,
+                    size_in: int, size_z: int):
+    """Reference ``HVAE`` state_dict (h_vae_model.py:279-331; Encoder
+    :215-244, Decoder :246-276) -> ``models.hvae.HVAE`` params.
+
+    Handles the NCHW->NHWC basis permutations of mu_lin/logvar_lin (which
+    flatten the channel-chunked HALF feature map) and of z_lin's output
+    (reshaped to the decoder's initial feature map)."""
+    sd = dict(state_dict)
+    params: dict = {"in_conv": _conv(sd, "enc.in_conv")}
+    for i in range(len(enc_channel_list)):
+        params[f"enc{i}"] = _hvae_rblock(sd, f"enc.r_blocks.{i}.")
+
+    feat_size = size_in
+    for _, _, _, rate in enc_channel_list:
+        feat_size //= rate
+    c_half = enc_channel_list[-1][2] // 2
+    perm = _nchw_to_nhwc_in_perm(c_half, feat_size, feat_size)
+    for name in ("mu_lin", "logvar_lin"):
+        w = _np(sd[f"enc.{name}.weight"])
+        params[name] = {"kernel": jnp.asarray(w[:, perm].T),
+                        "bias": jnp.asarray(_np(sd[f"enc.{name}.bias"]))}
+
+    params["learnable_feat"] = jnp.asarray(_np(sd["learnable_feat"]))
+    c0 = enc_channel_list[-1][2]
+    out_perm = _nchw_to_nhwc_in_perm(c0, feat_size, feat_size)
+    zw = _np(sd["z_lin.weight"])  # (flat, 2 * size_z)
+    zb = _np(sd["z_lin.bias"])
+    params["z_lin"] = {"kernel": jnp.asarray(zw[out_perm].T),
+                       "bias": jnp.asarray(zb[out_perm])}
+
+    for i in range(len(dec_channel_list)):
+        params[f"dec{i}"] = _hvae_tblock(sd, f"dec.t_blocks.{i}.")
+    params["out_conv"] = _conv(sd, "dec.out_conv")
+    return {"params": params}

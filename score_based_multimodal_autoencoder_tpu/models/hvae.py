@@ -7,7 +7,13 @@ ELBO sums a per-level Gaussian-vs-Gaussian KL on top of the top-level KL.
 
 Differences from the reference: explicit PRNG keys; channels-last; KL terms
 returned as a stacked array. The decoder's TBlock latent draws are per-level
-keys split from one caller key.
+keys split from one caller key. One deliberate deviation: at eval
+(train=False) the TOP-level latent is the posterior mean (the reference
+still samples it, h_vae_model.py:325-330, while its eval scripts elsewhere
+use means); decoder levels sample from their priors as in the reference.
+
+Numeric parity with the reference (train path) is tested end to end via
+``models.convert.load_torch_hvae`` (tests/test_torch_parity.py).
 """
 
 from __future__ import annotations

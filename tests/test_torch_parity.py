@@ -1511,3 +1511,68 @@ def test_het_rec_loss_parity():
              if x.ndim == 4 else jnp.asarray(x.numpy()) for x in ins_t]
     got = _het_rec_loss(outs_f, ins_f)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_hvae_parity(monkeypatch):
+    """Reference hierarchical HVAE (h_vae_model.py:279-331; RBlock/TBlock
+    :7-97) == models.hvae.HVAE after load_torch_hvae, with identical
+    injected reparametrization noise at the top level and at every decoder
+    level: reconstruction, (mu, logvar) and the per-level KLs all match."""
+    import h_vae_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_hvae,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.hvae import HVAE
+
+    torch.manual_seed(51)
+    enc = [(16, 16, 16, 2), (16, 16, 32, 2)]
+    # TBlock requires in_width == middle_width (x + pr_out,
+    # h_vae_model.py:82).
+    dec = [(32, 32, 16, 2), (16, 16, 16, 2)]
+    res_inp = [0, 1]
+    B, size_in, size_z = 2, 16, 8
+    tnet = ref.HVAE(enc, dec, res_inp, size_in, size_z).eval()
+    variables = load_torch_hvae(tnet.state_dict(), enc, dec, size_in, size_z)
+
+    fnet = HVAE(tuple(map(tuple, enc)), tuple(map(tuple, dec)),
+                tuple(res_inp), size_in=size_in, size_z=size_z)
+
+    rng = np.random.RandomState(53)
+    noise_nchw = [rng.randn(B, size_z).astype(np.float32),
+                  rng.randn(B, 32, 4, 4).astype(np.float32),
+                  rng.randn(B, 16, 8, 8).astype(np.float32)]
+    tcall = {"i": 0}
+
+    def fake_torch_normal(mean=0, std=1, size=(), **k):
+        out = torch.from_numpy(noise_nchw[tcall["i"]])
+        tcall["i"] += 1
+        return out
+
+    jscript = [noise_nchw[0],
+               noise_nchw[1].transpose(0, 2, 3, 1),
+               noise_nchw[2].transpose(0, 2, 3, 1)]
+    jcall = {"i": 0}
+
+    def fake_jax_normal(key, shape=(), dtype=jnp.float32):
+        out = jnp.asarray(jscript[jcall["i"]], dtype)
+        jcall["i"] += 1
+        return out
+
+    monkeypatch.setattr(torch, "normal", fake_torch_normal)
+    monkeypatch.setattr(jax.random, "normal", fake_jax_normal)
+
+    x = torch.rand(B, 3, size_in, size_in)
+    with torch.no_grad():
+        out_t, mu_t, lv_t, kls_t = tnet(x, train=True)
+    out_f, mu_f, lv_f, kls_f = fnet.apply(
+        variables, _nhwc(x), jax.random.key(0), True)
+
+    np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lv_f), lv_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(kls_f), np.array([float(k) for k in kls_t]),
+        rtol=1e-3, atol=1e-4)
+    _assert_close(out_f, out_t, atol=2e-4)
