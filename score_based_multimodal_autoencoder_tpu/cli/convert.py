@@ -23,6 +23,15 @@ sample/evaluate CLI can run reference-trained weights directly:
       --out ./refiner --model-channels 128 --channel-mult 1,2,2,3,4 \
       --num-res-blocks 2 --attention-resolutions 16 --num-heads 8
 
+  # baselines: MoPoE/MMVAE/MVAE/MVTCAE (one vae_list layout) and MMVAE+
+  # -> checkpoints for cli.evaluate --baseline {name}=DIR
+  python -m ...cli.convert --arch mixture --n-mod 10 \
+      --torch-ckpt mopoe.pt --out ./mopoe
+  python -m ...cli.convert --arch mmplus --n-mod 10 \
+      --latent-dim-w 32 --latent-dim-z 32 --torch-ckpt mmplus.pt --out ./mmp
+  python -m ...cli.convert --arch mmplus-celeba --torch-ckpt cel.pt --out ./m
+  python -m ...cli.convert --arch attr --torch-ckpt attr_vae.pt --out ./attr
+
 (Inception FID weights need no conversion - pass the reference's
 ``pt_inception-2015-12-05-6726825d.pth`` straight to ``--inception-weights``;
 eval/inception.py converts at load time.)
@@ -54,7 +63,8 @@ def _ints(s: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--arch", required=True,
-                   choices=["unet", "resvae", "adm"])
+                   choices=["unet", "resvae", "adm", "attr", "mixture",
+                            "mmplus", "mmplus-celeba"])
     p.add_argument("--torch-ckpt", action="append", required=True,
                    help="torch checkpoint file; repeat for a VAE fleet "
                         "(modality order = flag order)")
@@ -79,6 +89,11 @@ def main(argv=None):
     p.add_argument("--attention-resolutions", default="16")
     p.add_argument("--num-heads", type=int, default=8)
     p.add_argument("--num-heads-upsample", type=int, default=-1)
+    # baselines
+    p.add_argument("--n-mod", type=int, default=10,
+                   help="modality count (mixture/mmplus archs)")
+    p.add_argument("--latent-dim-w", type=int, default=32)
+    p.add_argument("--latent-dim-z", type=int, default=32)
     args = p.parse_args(argv)
 
     import jax
@@ -142,6 +157,63 @@ def main(argv=None):
             mgr.save_last(state)
             print(f"wrote {len(converted)}-modality fleet checkpoint "
                   f"({args.preset}, z={size_z}) -> {args.out}")
+
+    elif args.arch == "attr":
+        from ..models.convert import load_torch_attr_vae
+
+        sd = _state_dict(args.torch_ckpt[0], args.state_dict_key)
+        mgr.save_last(load_torch_attr_vae(sd))
+        print(f"wrote attribute-VAE checkpoint -> {args.out}")
+
+    elif args.arch == "mixture":
+        # MOPOEPolyRes / MMVAEPolyRes / MVPolyRes / MVTPolyRes: identical
+        # vae_list layout (mopoe_model.py) -> one stacked checkpoint usable
+        # by cli.evaluate --baseline {mopoe|mmvae|mvae|mvt}=DIR.
+        from ..models import vae as vae_mod
+        from ..models.convert import load_torch_mixture_vaes
+
+        sd = _state_dict(args.torch_ckpt[0], args.state_dict_key)
+        ckpt = load_torch_mixture_vaes(
+            sd, args.n_mod, [list(c) for c in vae_mod.POLYMNIST_ENC_CHANNELS],
+            [list(c) for c in vae_mod.POLYMNIST_DEC_CHANNELS],
+            size_in=32, size_z=args.size_z or 64)
+        mgr.save_last(ckpt)
+        mgr.save_best(ckpt, float("inf"))
+        print(f"wrote {args.n_mod}-modality mixture-baseline checkpoint "
+              f"-> {args.out}")
+
+    elif args.arch == "mmplus":
+        # PolyMNIST_10modalities (mmplus_model.py:323-385) -> MMVAEPlus.
+        from ..models import vae as vae_mod
+        from ..models.convert import load_torch_mmplus
+
+        sd = _state_dict(args.torch_ckpt[0], args.state_dict_key)
+        ckpt = load_torch_mmplus(
+            sd, args.n_mod, [list(c) for c in vae_mod.POLYMNIST_ENC_CHANNELS],
+            [list(c) for c in vae_mod.POLYMNIST_DEC_CHANNELS],
+            size_in=32, dim_u=args.latent_dim_w + args.latent_dim_z)
+        mgr.save_last(ckpt)
+        mgr.save_best(ckpt, float("inf"))
+        print(f"wrote MMVAE+ checkpoint (w={args.latent_dim_w}, "
+              f"z={args.latent_dim_z}) -> {args.out}")
+
+    elif args.arch == "mmplus-celeba":
+        # MMPLUSCeleba (mmplus_model_cel.py:473-519) -> the heterogeneous
+        # HeterogeneousMMVAEPlus over (image, mask, attr) modules.
+        from ..models import vae as vae_mod
+        from ..models.convert import load_torch_mmplus_het
+
+        sd = _state_dict(args.torch_ckpt[0], args.state_dict_key)
+        ckpt = load_torch_mmplus_het(
+            sd, [list(c) for c in vae_mod.CELEBA_IMG_ENC_CHANNELS],
+            [list(c) for c in vae_mod.CELEBA_IMG_DEC_CHANNELS],
+            [list(c) for c in vae_mod.CELEBA_MASK_ENC_CHANNELS],
+            [list(c) for c in vae_mod.CELEBA_MASK_DEC_CHANNELS],
+            size_in=128)
+        mgr.save_last(ckpt)
+        mgr.save_best(ckpt, float("inf"))
+        print(f"wrote heterogeneous MMVAE+ checkpoint (w={args.latent_dim_w},"
+              f" z={args.latent_dim_z}) -> {args.out}")
 
     elif args.arch == "adm":
         from ..models.convert import load_torch_adm_unet

@@ -1576,3 +1576,69 @@ def test_hvae_parity(monkeypatch):
         np.asarray(kls_f), np.array([float(k) for k in kls_t]),
         rtol=1e-3, atol=1e-4)
     _assert_close(out_f, out_t, atol=2e-4)
+
+
+def test_convert_cli_baseline_checkpoints(tmp_path):
+    """cli.convert --arch mixture / mmplus turns torch.save'd reference
+    baseline checkpoints into orbax checkpoints that load straight into the
+    flax baselines (the cli.evaluate --baseline layout)."""
+    import mmplus_model as mref
+    import mopoe_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.cli import convert
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mixture import (
+        MixtureMultimodalVAE,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus import (
+        MMVAEPlus,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.vae import (
+        POLYMNIST_DEC_CHANNELS,
+        POLYMNIST_ENC_CHANNELS,
+    )
+    from score_based_multimodal_autoencoder_tpu.train.checkpoints import (
+        CheckpointManager,
+    )
+
+    torch.manual_seed(57)
+    enc = [list(c) for c in POLYMNIST_ENC_CHANNELS]
+    dec = [list(c) for c in POLYMNIST_DEC_CHANNELS]
+    tnet = ref.MOPOEPolyRes(2, enc, dec, size_z=64, size_in=32,
+                            img_ch=3).eval()
+    torch.save({"model_state_dict": tnet.state_dict()},
+               tmp_path / "mopoe.pt")
+    convert.main(["--arch", "mixture", "--n-mod", "2",
+                  "--torch-ckpt", str(tmp_path / "mopoe.pt"),
+                  "--out", str(tmp_path / "mopoe")])
+    ckpt = CheckpointManager(str(tmp_path / "mopoe")).restore_raw("last")
+    fnet = MixtureMultimodalVAE(
+        2, POLYMNIST_ENC_CHANNELS, POLYMNIST_DEC_CHANNELS,
+        size_in=32, size_z=64, img_ch=3)
+    x = torch.rand(2, 2, 3, 32, 32)
+    x_f = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    mus_f, _ = fnet.apply(
+        {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]},
+        x_f, False, method=fnet.encode_all)
+    with torch.no_grad():
+        mu0_t, _ = tnet.vae_list[0].encoder(x[0])
+    np.testing.assert_allclose(np.asarray(mus_f[0]), mu0_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+    params = types.SimpleNamespace(n_mod=2, latent_dim_w=4, latent_dim_z=4,
+                                   learn_prior_w_polymnist=True,
+                                   tmpdir="/tmp")
+    mnet = mref.PolyMNIST_10modalities(params).eval()
+    torch.save(mnet.state_dict(), tmp_path / "mmplus.pt")
+    convert.main(["--arch", "mmplus", "--n-mod", "2", "--latent-dim-w", "4",
+                  "--latent-dim-z", "4",
+                  "--torch-ckpt", str(tmp_path / "mmplus.pt"),
+                  "--out", str(tmp_path / "mmplus")])
+    mck = CheckpointManager(str(tmp_path / "mmplus")).restore_raw("last")
+    fm = MMVAEPlus(n_mod=2, latent_dim_w=4, latent_dim_z=4, arch="res")
+    loc_f, _ = fm.apply(
+        {"params": mck["params"], "batch_stats": mck["batch_stats"]},
+        x_f, False, method=fm.encode)
+    with torch.no_grad():
+        loc_t, _ = mnet.vaes[0].enc(x[0])
+    np.testing.assert_allclose(np.asarray(loc_f[0]), loc_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
