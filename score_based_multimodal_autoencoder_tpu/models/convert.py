@@ -127,11 +127,12 @@ def load_torch_unet(state_dict, n_resolutions: int, use_convnext: bool = True):
     block = _convnext_block if use_convnext else _resnet_block
     params = {
         "init_conv": _conv(sd, "init_conv"),
-        "time_mlp": {"fc1": _dense(sd, "time_mlp.1"),
-                     "fc2": _dense(sd, "time_mlp.3")},
         "final_block": block(sd, "final_conv.0", has_time=False),
         "final_conv": _conv(sd, "final_conv.1"),
     }
+    if "time_mlp.1.weight" in sd:  # absent for with_time_emb=False (NorUnet)
+        params["time_mlp"] = {"fc1": _dense(sd, "time_mlp.1"),
+                              "fc2": _dense(sd, "time_mlp.3")}
     n = n_resolutions
     lin_idx = 0
     for i in range(n):

@@ -1642,3 +1642,31 @@ def test_convert_cli_baseline_checkpoints(tmp_path):
         loc_t, _ = mnet.vaes[0].enc(x[0])
     np.testing.assert_allclose(np.asarray(loc_f[0]), loc_t.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_norunet_parity():
+    """Reference NorUnet (unet_model.py:697-728: time-embedding-free UNet,
+    output divided by sigma - the NCSN net the annealed-Langevin AE track
+    consumes) == SigmaNormalizedUNet with the unet subtree converted via
+    load_torch_unet."""
+    import unet_model
+
+    from score_based_multimodal_autoencoder_tpu.nn.cross_attention import (
+        SigmaNormalizedUNet,
+    )
+
+    torch.manual_seed(61)
+    tnet = unet_model.NorUnet(n_mod=2, z_dim=64, dim=12, dim2=8,
+                              channels=2, dim_mults=(1, 2)).eval()
+    sub = {k[len("unet."):]: v for k, v in tnet.state_dict().items()
+           if k.startswith("unet.")}
+    unet_params = load_torch_unet(sub, 2)
+    fnet = SigmaNormalizedUNet(dim=12, channels=2, dim_mults=(1, 2))
+
+    x = torch.randn(2, 2, 8, 8)
+    sigma = torch.tensor([0.7, 2.5]).view(2, 1, 1, 1)
+    with torch.no_grad():
+        want = tnet(x, sigma)
+    got = fnet.apply({"params": {"unet": unet_params}}, _nhwc(x),
+                     jnp.asarray([0.7, 2.5], jnp.float32))
+    _assert_close(got, want)
