@@ -31,7 +31,13 @@ grid and refined by the latent UNet. Also covers:
 
 These are experimental variants in the reference (imported by the main
 scripts but not instantiated in shipped configs, SURVEY.md §2.3); they are
-implemented for capability parity and research use.
+implemented for capability parity and research use. ``CrossAttentionUNet``
+deliberately unifies the reference's near-identical CAUNET/CAUNET3/CAUNET4:
+it keeps CAUNET's residual-MLP ``init_lin`` (CAUNET3/4 use a plain Linear
+there, unet_model.py:947 vs :755) and decouples the UNet width from the
+grid side (the reference passes the grid side as the UNet ``dim``,
+unet_model.py:950-956) - structural faithfulness, not bit parity, for
+these unshipped research variants.
 """
 
 from __future__ import annotations
