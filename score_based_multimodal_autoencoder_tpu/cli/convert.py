@@ -212,8 +212,9 @@ def main(argv=None):
             size_in=128)
         mgr.save_last(ckpt)
         mgr.save_best(ckpt, float("inf"))
-        print(f"wrote heterogeneous MMVAE+ checkpoint (w={args.latent_dim_w},"
-              f" z={args.latent_dim_z}) -> {args.out}")
+        dim_w = ckpt["params"]["pw_raw"].shape[-1]  # inferred from weights
+        print(f"wrote heterogeneous MMVAE+ checkpoint (latent_dim_w={dim_w})"
+              f" -> {args.out}")
 
     elif args.arch == "adm":
         from ..models.convert import load_torch_adm_unet

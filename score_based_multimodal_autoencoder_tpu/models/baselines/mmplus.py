@@ -13,11 +13,9 @@ Key reference semantics kept:
 - Priors pu/pw: Laplace(0, softmax(param)*dim); the w-prior's scale param
   is optionally learnable (learn_prior_w, mmplus_model.py:264-270).
 - Cross-modal matrix: row e = latents from modality e, column d = decoder
-  d; off-diagonals resample w from the prior (mmvaeplus variant,
-  mmplus_model.py:59-72). Deliberate batching deviation: the reference
-  draws a fresh w per off-diagonal CELL; here one draw per source ROW is
-  shared across its destinations (same expectation per importance weight,
-  different MC coupling within a row; static draw count under vmap).
+  d; off-diagonals resample w from the DESTINATION modality's w-prior, one
+  fresh draw per cell (mmvaeplus variant, mmplus_model.py:59-72; the
+  reference keeps one trainable pw per modality, :272-275).
 
 All n_mod encoders/decoders are nn.vmap-stacked; the full n_mod x n_mod
 cross matrix is computed as one stacked decode.
@@ -111,8 +109,13 @@ class MMVAEPlus(nn.Module):
             self.decs = VDec(self.dec_channel_list, self.size_in, self.dim_u,
                              self.img_ch, dtype=self.dtype)
         # Prior scale raw params: pu fixed zeros, pw optionally learnable.
+        # The reference keeps one trainable pw per modality VAE
+        # (mmplus_model.py:272-275) and samples the cross matrix's fresh w
+        # from the DESTINATION modality's prior (mmplus_model.py:64) - so
+        # pw_raw is per-modality here too, row m = modality m's raw scale.
         self._pw_raw = self.param(
-            "pw_raw", nn.initializers.zeros, (1, self.latent_dim_w))
+            "pw_raw", nn.initializers.zeros,
+            (self.n_mod, self.latent_dim_w))
 
     # -- distribution params ----------------------------------------------
     def pu_params(self):
@@ -120,9 +123,11 @@ class MMVAEPlus(nn.Module):
         return loc, jnp.ones((1, self.dim_u), self.dtype)  # softmax(0)*d = 1
 
     def pw_params(self):
+        """(loc, scale) each (n_mod, latent_dim_w): modality m's w-prior."""
         raw = self._pw_raw if self.learn_prior_w else jax.lax.stop_gradient(
             self._pw_raw)
-        return jnp.zeros((1, self.latent_dim_w), self.dtype), _softmax_scale(raw)
+        return (jnp.zeros((self.n_mod, self.latent_dim_w), self.dtype),
+                _softmax_scale(raw))
 
     # -- encode/decode -----------------------------------------------------
     def encode(self, x, train: bool = False):
@@ -143,33 +148,39 @@ class MMVAEPlus(nn.Module):
         """Posterior params + K samples + fresh prior-w draws.
 
         Returns (q_loc, q_scale, us (n_mod, K, B, u), fresh_w
-        (n_mod, K, B, w)). Split from ``decode_matrix`` so the DReG hook can
-        scale the latent cotangents on EVERY downstream path.
+        (src, dst, K, B, w)) - one fresh w per cross-matrix CELL, drawn
+        from the DESTINATION modality's w-prior, exactly as the reference
+        does per off-diagonal (mmplus_model.py:59-72; diagonal cells'
+        draws are never read). Split from ``decode_matrix`` so the DReG
+        hook can scale the latent cotangents on EVERY downstream path.
         """
         s_key, w_key = jax.random.split(key)
         q_loc, q_scale = self.encode(x, train)
         us = laplace_rsample(s_key, q_loc, q_scale, (K,))  # (K, n_mod, B, u)
         us = jnp.moveaxis(us, 0, 1)  # (n_mod, K, B, u)
         n, _, B, _ = us.shape
-        pw_loc, pw_scale = self.pw_params()
+        pw_loc, pw_scale = self.pw_params()  # (n_mod, w)
+        shape = (n, n, K, B, self.latent_dim_w)
         fresh_w = laplace_rsample(
-            w_key, jnp.broadcast_to(pw_loc[0], (n, K, B, self.latent_dim_w)),
-            jnp.broadcast_to(pw_scale[0], (n, K, B, self.latent_dim_w)))
+            w_key, jnp.broadcast_to(pw_loc[None, :, None, None], shape),
+            jnp.broadcast_to(pw_scale[None, :, None, None], shape))
         return q_loc, q_scale, us, fresh_w
 
     def decode_matrix(self, us, fresh_w, train: bool = False):
         """Cross-modal matrix decode: (src, dst, K, B, H, W, C) means.
 
         Diagonal (e == d) decodes us[e]; off-diagonal decodes
-        (fresh w, z_e) with decoder d (mmplus_model.py:51-72).
+        (fresh w from dst's prior, z_e) with decoder d
+        (mmplus_model.py:51-72).
         """
         n, K, B, _ = us.shape
         z_e = us[..., self.latent_dim_w:]
-        cross_us = jnp.concatenate([fresh_w, z_e], axis=-1)
+        cross_us = jnp.concatenate(
+            [fresh_w, jnp.broadcast_to(z_e[:, None], fresh_w.shape[:-1]
+                                       + (z_e.shape[-1],))], axis=-1)
         src_major = jnp.broadcast_to(us[:, None], (n, n) + us.shape[1:])
-        cross_major = jnp.broadcast_to(cross_us[:, None], (n, n) + us.shape[1:])
         sel = jnp.eye(n, dtype=bool)[:, :, None, None, None]
-        dec_in = jnp.where(sel, src_major, cross_major)  # (src, dst, K, B, u)
+        dec_in = jnp.where(sel, src_major, cross_us)  # (src, dst, K, B, u)
         dec_in_dst = jnp.moveaxis(dec_in, 1, 0).reshape(n, n * K * B, self.dim_u)
         locs = self.decs(dec_in_dst, train)  # (dst, src*K*B, H, W, C)
         locs = locs.reshape(n, n, K, B, *locs.shape[2:])

@@ -13,12 +13,10 @@ the reference per modality: Laplace(mean, 0.75) for image/mask, BERNOULLI
 for the attribute vector (PolyCeleb 'att' branch passes dist.Bernoulli,
 mmplus_model_cel.py:407-411).
 
-One deliberate batching deviation: the reference draws a fresh prior-w
-per off-diagonal CELL (one pw.rsample per (src, dst) pair,
-mmplus_model.py:59-72); here one fresh w is drawn per source ROW and
-shared across its destinations. Each cell's w is still a prior draw, so
-every importance weight has the same expectation - only the MC coupling
-across a row differs - and the draw count stays static under vmap.
+As in the reference, each off-diagonal cell's fresh w is drawn from the
+DESTINATION modality's own trainable w-prior (one pw per modality VAE,
+mmplus_model_cel.py:422; one pw.rsample per (src, dst) pair,
+mmplus_model.py:59-72).
 """
 
 from __future__ import annotations
@@ -57,13 +55,18 @@ class HeterogeneousMMVAEPlus(nn.Module):
 
     def setup(self):
         self.vaes = self.modality_modules
+        # One trainable w-prior raw scale PER MODALITY (the reference keeps
+        # a pw on each modality VAE, mmplus_model_cel.py:422).
         self._pw_raw = self.param(
-            "pw_raw", nn.initializers.zeros, (1, self.latent_dim_w))
+            "pw_raw", nn.initializers.zeros,
+            (self.n_mod, self.latent_dim_w))
 
     def pw_params(self):
+        """(loc, scale) each (n_mod, latent_dim_w)."""
         raw = self._pw_raw if self.learn_prior_w else jax.lax.stop_gradient(
             self._pw_raw)
-        return jnp.zeros((1, self.latent_dim_w)), _softmax_scale(raw)
+        return (jnp.zeros((self.n_mod, self.latent_dim_w)),
+                _softmax_scale(raw))
 
     def encode(self, inputs, train: bool = False):
         """Per-modality posteriors: lists of (B, dim_u) loc/scale."""
@@ -77,26 +80,29 @@ class HeterogeneousMMVAEPlus(nn.Module):
         return jnp.stack(locs), jnp.stack(scales)  # (n_mod, B, u)
 
     def encode_and_sample(self, inputs, key, K: int = 1, train: bool = False):
+        """fresh_w: (src, dst, K, B, w) - one draw per cross-matrix cell,
+        from the DESTINATION modality's w-prior (diagonal draws unused)."""
         s_key, w_key = jax.random.split(key)
         q_loc, q_scale = self.encode(inputs, train)
         us = jnp.moveaxis(laplace_rsample(s_key, q_loc, q_scale, (K,)), 0, 1)
         n, _, B, _ = us.shape
-        pw_loc, pw_scale = self.pw_params()
+        pw_loc, pw_scale = self.pw_params()  # (n_mod, w)
+        shape = (n, n, K, B, self.latent_dim_w)
         fresh_w = laplace_rsample(
-            w_key, jnp.broadcast_to(pw_loc[0], (n, K, B, self.latent_dim_w)),
-            jnp.broadcast_to(pw_scale[0], (n, K, B, self.latent_dim_w)))
+            w_key, jnp.broadcast_to(pw_loc[None, :, None, None], shape),
+            jnp.broadcast_to(pw_scale[None, :, None, None], shape))
         return q_loc, q_scale, us, fresh_w
 
     def decode_matrix(self, us, fresh_w, train: bool = False):
         """Nested [src][dst] list of decoder means (per-dst shapes differ)."""
         n, K, B, _ = us.shape
         z_e = us[..., self.latent_dim_w:]
-        cross = jnp.concatenate([fresh_w, z_e], axis=-1)
         rows: List[List] = []
         for e in range(n):
             row = []
             for d, vae in enumerate(self.vaes):
-                u = us[e] if e == d else cross[e]
+                u = (us[e] if e == d
+                     else jnp.concatenate([fresh_w[e, d], z_e[e]], axis=-1))
                 out = vae.decoder(u.reshape(K * B, self.dim_u), train)
                 row.append(out.reshape(K, B, *out.shape[1:]))
             rows.append(row)
@@ -136,9 +142,15 @@ class HeterogeneousMMVAEPlus(nn.Module):
 
 def m_iwae_het(model_out, inputs, *, beta: float = 1.0, latent_dim_w: int = 128,
                pu_scale: float = 1.0, stop_q_params: bool = False,
-               _return_lw: bool = False):
+               likelihoods=None, _return_lw: bool = False):
     """IWAE bound over the heterogeneous cross matrix (same math as
-    mmplus_losses._log_weights with nested recon)."""
+    mmplus_losses._log_weights with nested recon).
+
+    ``likelihoods``: per-modality 'laplace' | 'bernoulli' (the reference
+    passes dist.Laplace for image/mask and dist.Bernoulli for the attr
+    vector, mmplus_model_cel.py:389-411). Default None infers by recon
+    rank: rank<=3 (a (K, B, D) vector modality) -> Bernoulli-from-logits;
+    image-shaped -> Laplace(mean, dec_scale)."""
     q_loc, q_scale = model_out["q_loc"], model_out["q_scale"]
     if stop_q_params:
         q_loc = jax.lax.stop_gradient(q_loc)
@@ -158,15 +170,18 @@ def m_iwae_het(model_out, inputs, *, beta: float = 1.0, latent_dim_w: int = 128,
         zs[:, None], qz_loc[None, :, None], qz_s[None, :, None]).sum(-1)
     lqz = _log_mean_exp(lqz_all, axis=1)
 
+    if likelihoods is None:
+        likelihoods = ["bernoulli" if recon[0][d].ndim <= 3 else "laplace"
+                       for d in range(n_mod)]
     rows = []
     for e in range(n_mod):
         row = 0.0
         for d in range(n_mod):
             r = recon[e][d]
             x_d = jnp.asarray(inputs[d])[None]
-            if r.ndim <= 3:
-                # Attribute modality: the reference's likelihood is
-                # BERNOULLI, not Laplace (PolyCeleb 'att' branch,
+            if likelihoods[d] == "bernoulli":
+                # The attr modality's likelihood is BERNOULLI in the
+                # reference (PolyCeleb 'att' branch,
                 # mmplus_model_cel.py:407-411, "was laplace"); our
                 # AttributeVAE decoder emits logits, so
                 # log p = x*logit - softplus(logit).
@@ -184,12 +199,14 @@ def m_iwae_het(model_out, inputs, *, beta: float = 1.0, latent_dim_w: int = 128,
 
 
 def m_dreg_het(model, variables, model_out, inputs, *, beta: float = 1.0,
-               latent_dim_w: int = 128, train: bool = True):
+               latent_dim_w: int = 128, train: bool = True,
+               likelihoods=None):
     """DReG with the latent-cotangent hook over the heterogeneous matrix."""
     us = model_out["us"]
     lw_ng = jax.lax.stop_gradient(
         m_iwae_het(model_out, inputs, beta=beta, latent_dim_w=latent_dim_w,
-                   stop_q_params=True, _return_lw=True))
+                   stop_q_params=True, likelihoods=likelihoods,
+                   _return_lw=True))
     w_bar = jnp.exp(lw_ng - jax.nn.logsumexp(lw_ng, axis=1, keepdims=True))
     hooked_us = _scale_grad(us, w_bar)
     recon, _ = model.apply(
@@ -199,5 +216,6 @@ def m_dreg_het(model, variables, model_out, inputs, *, beta: float = 1.0,
     hooked["us"] = hooked_us
     hooked["recon"] = recon
     lw = m_iwae_het(hooked, inputs, beta=beta, latent_dim_w=latent_dim_w,
-                    stop_q_params=True, _return_lw=True)
+                    stop_q_params=True, likelihoods=likelihoods,
+                    _return_lw=True)
     return (w_bar * lw).mean(0).sum()

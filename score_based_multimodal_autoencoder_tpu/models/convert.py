@@ -420,10 +420,9 @@ def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
     ``ResEncoder`` (the softmax scale transform is functional,
     mmplus_model.py:216-218) and ``Dec`` composes its own ``z_lin`` + ReLU
     with a ``ResDecoder`` (:225-249) - exactly the composition of this
-    repo's flax ``ResDecoder``. Prior params: ``pw_raw`` takes the w-prior's
-    raw scale (softmax-parameterized, :268-270); the torch per-modality
-    copies are tied in this module (the reference initializes them all to
-    zeros and only the top-level/learnable one trains).
+    repo's flax ``ResDecoder``. Prior params: the per-modality trainable
+    w-prior raw scales (``vaes.{m}._pw_params.1``, softmax-parameterized,
+    :268-275) stack into the (n_mod, latent_dim_w) ``pw_raw``.
     """
     per_enc, per_dec = [], []
     for m in range(n_mod):
@@ -445,14 +444,24 @@ def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
     encs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_enc)
     decs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_dec)
 
-    pw = state_dict.get("_pw_params.1",
-                        state_dict.get("vaes.0._pw_params.1"))
-    latent_dim_w = _np(pw).shape[-1] if pw is not None else dim_u // 2
-    pw_raw = (jnp.asarray(_np(pw)) if pw is not None
-              else jnp.zeros((1, latent_dim_w)))
     return {"params": {"encs": encs["p"], "decs": decs["p"],
-                       "pw_raw": pw_raw},
+                       "pw_raw": _stack_pw_raw(state_dict, n_mod,
+                                               dim_u // 2)},
             "batch_stats": {"encs": encs["s"], "decs": decs["s"]}}
+
+
+def _stack_pw_raw(state_dict, n_mod: int, latent_dim_w: int):
+    """Stack the reference's PER-MODALITY trainable w-prior raw scales
+    (``vaes.{m}._pw_params.1``, mmplus_model.py:272-275 /
+    mmplus_model_cel.py:422) into the flax models' (n_mod, latent_dim_w)
+    ``pw_raw`` (row m = modality m's prior, sampled per DESTINATION in the
+    cross matrix)."""
+    rows = []
+    for m in range(n_mod):
+        pw = state_dict.get(f"vaes.{m}._pw_params.1")
+        rows.append(_np(pw)[0] if pw is not None
+                    else np.zeros((latent_dim_w,), np.float32))
+    return jnp.asarray(np.stack(rows))
 
 
 def load_torch_mmplus_het(state_dict, img_enc, img_dec, mask_enc, mask_dec,
@@ -495,9 +504,8 @@ def load_torch_mmplus_het(state_dict, img_enc, img_dec, mask_enc, mask_dec,
     params["modality_modules_2"] = attr["params"]
     stats["modality_modules_2"] = attr["batch_stats"]
 
-    pw = state_dict.get("vaes.0._pw_params.1")
-    params["pw_raw"] = (jnp.asarray(_np(pw)) if pw is not None
-                        else jnp.zeros((1, 1)))
+    dim_w = _np(state_dict["vaes.2.enc.mu_lin.bias"]).shape[0] // 2
+    params["pw_raw"] = _stack_pw_raw(state_dict, 3, dim_w)
     return {"params": params, "batch_stats": stats}
 
 

@@ -553,6 +553,10 @@ def test_mmplus_res_parity():
                                    learn_prior_w_polymnist=True,
                                    tmpdir="/tmp")
     tnet = ref.PolyMNIST_10modalities(params).eval()
+    # Give each modality a DISTINCT learned w-prior so the per-modality
+    # stacking is actually exercised (zero-init rows are indistinguishable).
+    for vae in tnet.vaes:
+        vae._pw_params[1].data = torch.randn(1, 4) * 0.3
     enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
     dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
     variables = load_torch_mmplus(tnet.state_dict(), 2, enc, dec,
@@ -579,10 +583,11 @@ def test_mmplus_res_parity():
             out_t, _ = tnet.vaes[m].dec(us[m : m + 1])  # (1, 3, C, H, W)
             _assert_close(outs_f[m], out_t[0], atol=2e-4)
 
-    # The w-prior scale param converts too (softmax-parameterized raw).
-    pw_raw_t = tnet.vaes[0]._pw_params[1].detach().numpy()
-    np.testing.assert_allclose(
-        np.asarray(variables["params"]["pw_raw"]), pw_raw_t)
+    # The PER-MODALITY w-prior scale params convert too (stacked rows).
+    for m in range(2):
+        np.testing.assert_allclose(
+            np.asarray(variables["params"]["pw_raw"][m]),
+            tnet.vaes[m]._pw_params[1].detach().numpy()[0])
 
 
 def test_mask_rep_encoder_parity():
@@ -1270,6 +1275,10 @@ def test_mmplus_iwae_dreg_parity(monkeypatch):
         learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
         no_cuda=True, beta=1.0)
     tnet = ref.PolyMNIST_10modalities(params).eval()
+    # Distinct per-modality w-priors: verifies the fresh w is drawn from
+    # the DESTINATION modality's prior (mmplus_model.py:64).
+    for vae in tnet.vaes:
+        vae._pw_params[1].data = torch.randn(1, 4) * 0.3
     enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
     dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
     variables = load_torch_mmplus(tnet.state_dict(), 2, enc, dec,
@@ -1281,16 +1290,16 @@ def test_mmplus_iwae_dreg_parity(monkeypatch):
     # Scripted standard-Laplace draws, derived from the same uniforms on
     # both sides (x = loc - scale * sign(u) * log1p(-2|u|)).
     u_us = (rng.rand(K, 2, B, 8).astype(np.float32) - 0.5) * 0.98
-    u_w = (rng.rand(2, K, B, 4).astype(np.float32) - 0.5) * 0.98
+    u_w = (rng.rand(2, 2, K, B, 4).astype(np.float32) - 0.5) * 0.98
 
     def _eps(u):
         return -np.sign(u) * np.log1p(-2 * np.abs(u))
 
     eps_us, eps_w = _eps(u_us), _eps(u_w)
     # torch draw order (MMVAE.forward, mmplus_model.py:50-77): posterior
-    # rsample per modality, then a fresh prior-w per source row.
+    # rsample per modality, then one fresh prior-w per off-diagonal cell.
     tscript = [eps_us[:, 0], eps_us[:, 1],
-               eps_w[0][:, :, None, :], eps_w[1][:, :, None, :]]
+               eps_w[0, 1][:, :, None, :], eps_w[1, 0][:, :, None, :]]
     tcall = {"i": 0}
 
     def fake_rsample(self, sample_shape=torch.Size()):
@@ -1387,9 +1396,8 @@ def test_mmplus_het_iwae_dreg_parity(monkeypatch):
     image/mask/attr nets :197-471, BERNOULLI attr likelihood :407-411) with
     the generic estimators (train_cel_upd_mopoe_an.py:63-168) == this
     repo's HeterogeneousMMVAEPlus + m_iwae_het/m_dreg_het after
-    load_torch_mmplus_het, with scripted Laplace draws (the reference's
-    per-CELL fresh-w draws are scripted equal within each source row to
-    match this repo's per-row sharing - a documented batching choice)."""
+    load_torch_mmplus_het, with scripted Laplace draws per cross-matrix
+    cell and DISTINCT per-modality learned w-priors."""
     import mmplus_model_cel as ref
     import train_cel_upd_mopoe_an as ref_est
 
@@ -1413,6 +1421,8 @@ def test_mmplus_het_iwae_dreg_parity(monkeypatch):
         learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
         no_cuda=True, beta=1.0)
     tnet = ref.MMPLUSCeleba(params).eval()
+    for vae in tnet.vaes:
+        vae._pw_params[1].data = torch.randn(1, 4) * 0.3
 
     img_enc = [(64, 128, 128, 2), (128, 256, 256, 2), (256, 512, 512, 2)]
     img_dec = [(512, 512, 256, 2), (256, 256, 128, 2), (128, 128, 64, 2)]
@@ -1429,17 +1439,19 @@ def test_mmplus_het_iwae_dreg_parity(monkeypatch):
     B, K = 2, 1
     rng = np.random.RandomState(43)
     u_us = (rng.rand(K, 3, B, 8).astype(np.float32) - 0.5) * 0.98
-    u_w = (rng.rand(3, K, B, 4).astype(np.float32) - 0.5) * 0.98
+    u_w = (rng.rand(3, 3, K, B, 4).astype(np.float32) - 0.5) * 0.98
 
     def _eps(u):
         return -np.sign(u) * np.log1p(-2 * np.abs(u))
 
     eps_us, eps_w = _eps(u_us), _eps(u_w)
-    # torch order: 3 posterior rsamples, then 2 fresh-w per source row
-    # (per off-diagonal cell) - scripted EQUAL within a row.
+    # torch order: 3 posterior rsamples, then one fresh-w per off-diagonal
+    # cell in (src, dst) loop order.
     tscript = [eps_us[:, 0], eps_us[:, 1], eps_us[:, 2]]
     for e in range(3):
-        tscript += [eps_w[e][:, :, None, :]] * 2
+        for d in range(3):
+            if d != e:
+                tscript.append(eps_w[e, d][:, :, None, :])
     tcall = {"i": 0}
 
     def fake_rsample(self, sample_shape=torch.Size()):
