@@ -204,12 +204,16 @@ def main(argv=None):
         from ..models.convert import load_torch_mmplus_het
 
         sd = _state_dict(args.torch_ckpt[0], args.state_dict_key)
+        # MMPLUSCeleba ships as 3 modalities (img, mask, att) or 2
+        # (img, att) (mmplus_model_cel.py:475-483); --n-mod's PolyMNIST
+        # default of 10 means "unset" here.
+        het_n_mod = args.n_mod if args.n_mod in (2, 3) else 3
         ckpt = load_torch_mmplus_het(
             sd, [list(c) for c in vae_mod.CELEBA_IMG_ENC_CHANNELS],
             [list(c) for c in vae_mod.CELEBA_IMG_DEC_CHANNELS],
             [list(c) for c in vae_mod.CELEBA_MASK_ENC_CHANNELS],
             [list(c) for c in vae_mod.CELEBA_MASK_DEC_CHANNELS],
-            size_in=128)
+            size_in=128, n_mod=het_n_mod)
         mgr.save_last(ckpt)
         mgr.save_best(ckpt, float("inf"))
         dim_w = ckpt["params"]["pw_raw"].shape[-1]  # inferred from weights

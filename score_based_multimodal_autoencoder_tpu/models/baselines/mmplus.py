@@ -207,12 +207,33 @@ class MMVAEPlus(nn.Module):
         return self.decode_all(us, train)
 
     def cross_reconstruct(self, x, key, train: bool = False):
-        """Cross matrix with fresh prior w for off-diagonals
-        (reconstruct_and_cross_reconstruct_forw, mmplus_model.py:103-124;
-        that path draws w from pu's w-part - identical to pw unless the
-        w-prior was learned): returns (src, dst, B, H, W, C) means."""
-        out = self(x, key, K=1, train=train)
-        return out["recon_locs"][:, :, 0]
+        """Eval-path cross matrix: (src, dst, B, H, W, C) means.
+
+        Matches ``reconstruct_and_cross_reconstruct_forw``
+        (mmplus_model.py:103-124), which differs from the TRAINING forward
+        in two ways: the off-diagonal fresh w comes from the FIXED prior pu
+        (its w-part), not the possibly-learned pw, and ONE draw per source
+        row is shared across all destination decoders (training draws
+        per cell)."""
+        s_key, w_key = jax.random.split(key)
+        q_loc, q_scale = self.encode(x, train)
+        us = laplace_rsample(s_key, q_loc, q_scale)  # (n_mod, B, u)
+        n, B, _ = us.shape
+        pu_loc, pu_scale = self.pu_params()
+        u_new = laplace_rsample(
+            w_key, jnp.broadcast_to(pu_loc[0], (n, B, self.dim_u)),
+            jnp.broadcast_to(pu_scale[0], (n, B, self.dim_u)))
+        cross = jnp.concatenate(
+            [u_new[..., :self.latent_dim_w], us[..., self.latent_dim_w:]],
+            axis=-1)
+        src_major = jnp.broadcast_to(us[:, None], (n, n, B, self.dim_u))
+        cross_major = jnp.broadcast_to(cross[:, None], (n, n, B, self.dim_u))
+        sel = jnp.eye(n, dtype=bool)[:, :, None, None]
+        dec_in = jnp.where(sel, src_major, cross_major)  # (src, dst, B, u)
+        dec_in_dst = jnp.moveaxis(dec_in, 1, 0).reshape(n, n * B, self.dim_u)
+        locs = self.decs(dec_in_dst, train)  # (dst, src*B, H, W, C)
+        locs = locs.reshape(n, n, B, *locs.shape[2:])
+        return jnp.moveaxis(locs, 0, 1)  # (src, dst, B, ...)
 
     def cond_gen(self, x, present_mods, key, train: bool = False):
         """Pick a random present source row of the cross matrix

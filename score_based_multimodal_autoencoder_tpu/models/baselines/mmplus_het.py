@@ -121,21 +121,44 @@ class HeterogeneousMMVAEPlus(nn.Module):
                             jnp.ones((N, self.dim_u)))
         return tuple(vae.decoder(u, train) for vae in self.vaes)
 
+    def cross_reconstruct(self, inputs, key, train: bool = False):
+        """Eval-path cross matrix: nested [src][dst] list of (B, ...) means.
+
+        Matches ``reconstruct_and_cross_reconstruct_forw``
+        (mmplus_model.py:103-124, inherited by MMPLUSCeleba): off-diagonal
+        fresh w comes from the FIXED prior pu's w-part (not the learned
+        pw), and ONE draw per source row is shared across destinations -
+        both unlike the training forward."""
+        s_key, w_key = jax.random.split(key)
+        q_loc, q_scale = self.encode(inputs, train)
+        us = laplace_rsample(s_key, q_loc, q_scale)  # (n_mod, B, u)
+        n, B, _ = us.shape
+        u_new = laplace_rsample(
+            w_key, jnp.zeros((n, B, self.dim_u)), jnp.ones((n, B, self.dim_u)))
+        cross = jnp.concatenate(
+            [u_new[..., :self.latent_dim_w], us[..., self.latent_dim_w:]],
+            axis=-1)
+        rows: List[List] = []
+        for e in range(n):
+            rows.append([vae.decoder(us[e] if e == d else cross[e], train)
+                         for d, vae in enumerate(self.vaes)])
+        return rows
+
     def cond_gen(self, inputs, present_mods, key, train: bool = False):
-        """Random present source row of the cross matrix
-        (mmplus_model_cel.py cond_gen, same as the PolyMNIST variant).
+        """Random present source row of the eval cross matrix
+        (mmplus_model_cel.py cond_gen via MMVAE.cond_gen ->
+        reconstruct_and_cross_reconstruct, mmplus_model.py:91-101).
 
         ``present_mods`` may be a traced index array (works under jit: the
         source row is gathered, never converted to a Python int)."""
         sel_key, rec_key = jax.random.split(key)
-        out = self(inputs, rec_key, K=1, train=train)
+        recon = self.cross_reconstruct(inputs, rec_key, train)
         present = jnp.asarray(present_mods, jnp.int32)
         choice = jax.random.randint(sel_key, (), 0, present.shape[0])
         idx = present[choice]
         outs = []
         for d in range(self.n_mod):
-            stacked = jnp.stack([out["recon"][e][d][0]
-                                 for e in range(self.n_mod)])
+            stacked = jnp.stack([recon[e][d] for e in range(self.n_mod)])
             outs.append(stacked[idx])
         return tuple(outs)
 

@@ -426,16 +426,7 @@ def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
     """
     per_enc, per_dec = [], []
     for m in range(n_mod):
-        pseudo = {}
-        pe, pd, pz = (f"vaes.{m}.enc.enc.", f"vaes.{m}.dec.dec_.",
-                      f"vaes.{m}.dec.z_lin.")
-        for k, v in state_dict.items():
-            if k.startswith(pe):
-                pseudo["enc." + k[len(pe):]] = v
-            elif k.startswith(pd):
-                pseudo["dec." + k[len(pd):]] = v
-            elif k.startswith(pz):
-                pseudo["z_lin." + k[len(pz):]] = v
+        pseudo = _mmplus_vae_pseudo_sd(state_dict, m)
         enc_p, enc_s = _res_encoder(pseudo, "enc.", enc_channel_list, size_in)
         dec_p, dec_s = _res_decoder(pseudo, "dec.", "z_lin",
                                     dec_channel_list, size_in)
@@ -450,62 +441,85 @@ def load_torch_mmplus(state_dict, n_mod: int, enc_channel_list,
             "batch_stats": {"encs": encs["s"], "decs": decs["s"]}}
 
 
-def _stack_pw_raw(state_dict, n_mod: int, latent_dim_w: int):
+def _mmplus_vae_pseudo_sd(state_dict, m: int):
+    """Remap modality m's wrapped-net keys (``vaes.{m}.enc.enc`` /
+    ``dec.dec_`` / ``dec.z_lin``, mmplus_model.py:197-249) to the flat
+    ``enc.`` / ``dec.`` / ``z_lin.`` layout the ResVAE converters expect."""
+    pseudo = {}
+    pe, pd, pz = (f"vaes.{m}.enc.enc.", f"vaes.{m}.dec.dec_.",
+                  f"vaes.{m}.dec.z_lin.")
+    for k, v in state_dict.items():
+        if k.startswith(pe):
+            pseudo["enc." + k[len(pe):]] = v
+        elif k.startswith(pd):
+            pseudo["dec." + k[len(pd):]] = v
+        elif k.startswith(pz):
+            pseudo["z_lin." + k[len(pz):]] = v
+    return pseudo
+
+
+def _stack_pw_raw(state_dict, n_mod: int, fallback_dim_w: int):
     """Stack the reference's PER-MODALITY trainable w-prior raw scales
     (``vaes.{m}._pw_params.1``, mmplus_model.py:272-275 /
     mmplus_model_cel.py:422) into the flax models' (n_mod, latent_dim_w)
     ``pw_raw`` (row m = modality m's prior, sampled per DESTINATION in the
-    cross matrix)."""
+    cross matrix). A present row fixes latent_dim_w (so a non-even w/z
+    split converts correctly); ``fallback_dim_w`` only sizes the zero rows
+    when the state_dict has no pw at all."""
+    present = [_np(state_dict[f"vaes.{m}._pw_params.1"])[0]
+               for m in range(n_mod)
+               if f"vaes.{m}._pw_params.1" in state_dict]
+    dim_w = present[0].shape[-1] if present else fallback_dim_w
     rows = []
     for m in range(n_mod):
         pw = state_dict.get(f"vaes.{m}._pw_params.1")
         rows.append(_np(pw)[0] if pw is not None
-                    else np.zeros((latent_dim_w,), np.float32))
+                    else np.zeros((dim_w,), np.float32))
     return jnp.asarray(np.stack(rows))
 
 
 def load_torch_mmplus_het(state_dict, img_enc, img_dec, mask_enc, mask_dec,
-                          size_in: int = 128):
+                          size_in: int = 128, n_mod: int = 3):
     """Reference ``MMPLUSCeleba`` state_dict (mmplus_model_cel.py:473-519;
     modality nets :197-471) -> ``HeterogeneousMMVAEPlus`` variables over
-    (celeba_image_vae, celeba_mask_vae, AttributeVAE) modules.
+    (celeba_image_vae, celeba_mask_vae, AttributeVAE) modules for
+    ``n_mod=3``, or (celeba_image_vae, AttributeVAE) for the reference's
+    2-modality (img, att) variant (mmplus_model_cel.py:481-483).
 
-    vaes.{0,1} wrap ResEncoderN (``enc.enc``) and z_lin+ReLU+ResDecoderN
+    The conv VAEs wrap ResEncoderN (``enc.enc``) and z_lin+ReLU+ResDecoderN
     (``dec.z_lin``, ``dec.dec_``) - the composition of this repo's flax
-    ResVAE(variant='celeb'); vaes.2 is the Linear/BatchNorm1d attribute
-    pair (same stack as CelebAAttrNewBN). The w-prior raw scale converts
-    from the tied per-modality ``_pw_params``."""
+    ResVAE(variant='celeb'); the last modality is the Linear/BatchNorm1d
+    attribute pair (same stack as CelebAAttrNewBN). The per-modality
+    w-prior raw scales stack via ``_stack_pw_raw``."""
+    if n_mod not in (2, 3):
+        raise ValueError(
+            f"MMPLUSCeleba has n_mod in (2, 3) (mmplus_model_cel.py:"
+            f"475-483), got {n_mod}")
     params: dict = {}
     stats: dict = {}
-    for i, (enc_l, dec_l) in ((0, (img_enc, img_dec)),
-                              (1, (mask_enc, mask_dec))):
-        pseudo = {}
-        pe, pd, pz = (f"vaes.{i}.enc.enc.", f"vaes.{i}.dec.dec_.",
-                      f"vaes.{i}.dec.z_lin.")
-        for k, v in state_dict.items():
-            if k.startswith(pe):
-                pseudo["enc." + k[len(pe):]] = v
-            elif k.startswith(pd):
-                pseudo["dec." + k[len(pd):]] = v
-            elif k.startswith(pz):
-                pseudo["z_lin." + k[len(pz):]] = v
+    conv_mods = [(0, (img_enc, img_dec))]
+    if n_mod == 3:
+        conv_mods.append((1, (mask_enc, mask_dec)))
+    for i, (enc_l, dec_l) in conv_mods:
+        pseudo = _mmplus_vae_pseudo_sd(state_dict, i)
         enc_p, enc_s = _res_encoder(pseudo, "enc.", enc_l, size_in)
         dec_p, dec_s = _res_decoder(pseudo, "dec.", "z_lin", dec_l, size_in)
         params[f"modality_modules_{i}"] = {"enc": enc_p, "dec": dec_p}
         stats[f"modality_modules_{i}"] = {"enc": enc_s, "dec": dec_s}
 
+    a = n_mod - 1  # attribute VAE is always the LAST modality
     sub = {}
     for k, v in state_dict.items():
-        if k.startswith("vaes.2.enc."):
-            sub[k[len("vaes.2.enc."):]] = v
-        elif k.startswith("vaes.2.dec."):
-            sub[k[len("vaes.2.dec."):]] = v
+        if k.startswith(f"vaes.{a}.enc."):
+            sub[k[len(f"vaes.{a}.enc."):]] = v
+        elif k.startswith(f"vaes.{a}.dec."):
+            sub[k[len(f"vaes.{a}.dec."):]] = v
     attr = load_torch_attr_vae(sub)
-    params["modality_modules_2"] = attr["params"]
-    stats["modality_modules_2"] = attr["batch_stats"]
+    params[f"modality_modules_{a}"] = attr["params"]
+    stats[f"modality_modules_{a}"] = attr["batch_stats"]
 
-    dim_w = _np(state_dict["vaes.2.enc.mu_lin.bias"]).shape[0] // 2
-    params["pw_raw"] = _stack_pw_raw(state_dict, 3, dim_w)
+    dim_w = _np(state_dict[f"vaes.{a}.enc.mu_lin.bias"]).shape[0] // 2
+    params["pw_raw"] = _stack_pw_raw(state_dict, n_mod, dim_w)
     return {"params": params, "batch_stats": stats}
 
 

@@ -1391,6 +1391,96 @@ def test_frechet_distance_parity():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_mmplus_cross_reconstruct_parity(monkeypatch):
+    """Reference MMVAE.reconstruct_and_cross_reconstruct / cond_gen
+    (mmplus_model.py:91-133: the EVAL path, whose off-diagonal fresh w
+    comes from the FIXED pu's w-part with ONE draw per source row shared
+    across destinations - unlike training's per-cell pw draws) == this
+    repo's MMVAEPlus.cross_reconstruct/cond_gen with identical scripted
+    Laplace draws and distinct learned pw (which must NOT be used here)."""
+    import mmplus_model as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus import (
+        MMVAEPlus,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mmplus,
+    )
+
+    torch.manual_seed(41)
+    params = types.SimpleNamespace(
+        n_mod=2, latent_dim_w=4, latent_dim_z=4,
+        learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
+        no_cuda=True, beta=1.0)
+    tnet = ref.PolyMNIST_10modalities(params).eval()
+    # Distinct learned w-priors: the eval path must IGNORE them (it draws
+    # from pu), so parity with scripted draws proves the pu routing.
+    for vae in tnet.vaes:
+        vae._pw_params[1].data = torch.randn(1, 4) * 0.3
+    enc = [(64, 64, 64, 2), (64, 128, 128, 2), (128, 256, 256, 2)]
+    dec = [(256, 128, 128, 2), (128, 128, 64, 2), (64, 64, 64, 2)]
+    variables = load_torch_mmplus(tnet.state_dict(), 2, enc, dec,
+                                  size_in=32, dim_u=8)
+    fnet = MMVAEPlus(n_mod=2, latent_dim_w=4, latent_dim_z=4, arch="res")
+
+    B = 3
+    rng = np.random.RandomState(47)
+    u_us = (rng.rand(2, B, 8).astype(np.float32) - 0.5) * 0.98
+    u_w = (rng.rand(2, B, 8).astype(np.float32) - 0.5) * 0.98
+
+    def _eps(u):
+        return -np.sign(u) * np.log1p(-2 * np.abs(u))
+
+    eps_us, eps_w = _eps(u_us), _eps(u_w)
+    # torch draw order (reconstruct_and_cross_reconstruct_forw,
+    # mmplus_model.py:103-124): posterior rsample(K=1) per modality, then
+    # one pu rsample(Size([1, B])) per source row.
+    tscript = [eps_us[0][None], eps_us[1][None],
+               eps_w[0][None, :, None, :], eps_w[1][None, :, None, :]]
+    tcall = {"i": 0}
+
+    def fake_rsample(self, sample_shape=torch.Size()):
+        e = torch.from_numpy(tscript[tcall["i"]])
+        tcall["i"] += 1
+        return self.loc + self.scale * e
+
+    monkeypatch.setattr(torch.distributions.Laplace, "rsample", fake_rsample)
+
+    jscript = [u_us, u_w]
+    jcall = {"i": 0}
+
+    def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0,
+                     maxval=1.0, **k):
+        out = jnp.asarray(jscript[jcall["i"]], dtype)
+        jcall["i"] += 1
+        return out
+
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+
+    x0 = torch.rand(B, 3, 32, 32)
+    x1 = torch.rand(B, 3, 32, 32)
+    x_f = jnp.asarray(np.stack([x0.numpy(), x1.numpy()])
+                      .transpose(0, 1, 3, 4, 2))
+
+    tcall["i"] = 0
+    recons_t = tnet.reconstruct_and_cross_reconstruct([x0, x1])
+    jcall["i"] = 0
+    recons_f = fnet.apply(variables, x_f, jax.random.key(0), False,
+                          method=fnet.cross_reconstruct)
+    for e in range(2):
+        for d in range(2):
+            _assert_close(recons_f[e, d], recons_t[e][d][0], atol=2e-4)
+
+    # cond_gen given modality 0 == source row 0 of the eval matrix.
+    tcall["i"] = 0
+    outs_t = tnet.cond_gen([0], [x0, x1])
+    jcall["i"] = 0
+    outs_f = fnet.apply(variables, x_f, [0], jax.random.key(0), False,
+                        method=fnet.cond_gen)
+    for d in range(2):
+        _assert_close(outs_f[d], outs_t[d], atol=2e-4)
+
+
 def test_mmplus_het_iwae_dreg_parity(monkeypatch):
     """Reference MMPLUSCeleba (mmplus_model_cel.py:473-519; heterogeneous
     image/mask/attr nets :197-471, BERNOULLI attr likelihood :407-411) with
@@ -1495,6 +1585,70 @@ def test_mmplus_het_iwae_dreg_parity(monkeypatch):
                           latent_dim_w=4, train=False)
     np.testing.assert_allclose(float(got_dreg), float(want_dreg.detach()),
                                rtol=1e-4)
+
+
+def test_mmplus_het_two_modality_convert():
+    """The reference's 2-modality MMPLUSCeleba variant (img, att -
+    mmplus_model_cel.py:481-483: vaes.1 IS the attribute VAE) converts
+    with n_mod=2: modules map to (image, attr), per-modality pw rows
+    stack, and the attr encoder round-trips."""
+    import mmplus_model_cel as ref
+
+    from score_based_multimodal_autoencoder_tpu.models.baselines.mmplus_het import (
+        HeterogeneousMMVAEPlus,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.convert import (
+        load_torch_mmplus_het,
+    )
+    from score_based_multimodal_autoencoder_tpu.models.vae import (
+        AttributeVAE,
+        celeba_image_vae,
+    )
+
+    torch.manual_seed(43)
+    params = types.SimpleNamespace(
+        n_mod=2, latent_dim_w=4, latent_dim_z=4,
+        learn_prior_w_polymnist=True, tmpdir="/tmp", variant="mmvaeplus",
+        no_cuda=True, beta=1.0)
+    tnet = ref.MMPLUSCeleba(params).eval()
+    for vae in tnet.vaes:
+        vae._pw_params[1].data = torch.randn(1, 4) * 0.3
+
+    img_enc = [(64, 128, 128, 2), (128, 256, 256, 2), (256, 512, 512, 2)]
+    img_dec = [(512, 512, 256, 2), (256, 256, 128, 2), (128, 128, 64, 2)]
+    mask_enc = [(64, 128, 128, 4), (128, 256, 256, 4)]
+    mask_dec = [(256, 256, 128, 4), (128, 128, 64, 4)]
+    variables = load_torch_mmplus_het(tnet.state_dict(), img_enc, img_dec,
+                                      mask_enc, mask_dec, size_in=128,
+                                      n_mod=2)
+    assert set(variables["params"]) == {
+        "modality_modules_0", "modality_modules_1", "pw_raw"}
+    assert variables["params"]["pw_raw"].shape == (2, 4)
+    for m in range(2):
+        np.testing.assert_allclose(
+            np.asarray(variables["params"]["pw_raw"][m]),
+            tnet.vaes[m]._pw_params[1].detach().numpy()[0])
+
+    fnet = HeterogeneousMMVAEPlus(
+        modality_modules=(celeba_image_vae(8, size_in=128),
+                          AttributeVAE(size_z=8, att_size=18)),
+        latent_dim_w=4, latent_dim_z=4)
+    B = 2
+    img = torch.rand(B, 3, 128, 128)
+    attr = (torch.rand(B, 18) > 0.5).float()
+    x_f = [jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+           jnp.asarray(attr.numpy())]
+    q_loc_f, q_scale_f = fnet.apply(variables, x_f, False,
+                                    method=fnet.encode)
+    with torch.no_grad():
+        loc_t, _ = tnet.vaes[1].enc(attr)
+    np.testing.assert_allclose(np.asarray(q_loc_f[1]), loc_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+    # ValueError on layouts the reference never shipped.
+    with pytest.raises(ValueError):
+        load_torch_mmplus_het(tnet.state_dict(), img_enc, img_dec,
+                              mask_enc, mask_dec, size_in=128, n_mod=4)
 
 
 def test_het_rec_loss_parity():
