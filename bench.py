@@ -6,9 +6,10 @@ Two workloads, both fused whole-trajectory ``lax.scan`` programs:
   dim=128 / channels=10 / dim_mults (1,2,2,2) on 8x8 grids, N=100 EM steps
   (/root/reference/train_poly_unet_cont.py:567-572). The reported ``value``
   is the shipped TPU sampling preset (128-wide stem + MXU depthwise +
-  fused Pallas linear attention on the >=64-position levels,
+  fused Pallas linear attention on the >=16-position levels,
   ScoreConfig.polymnist_tpu sample flavor) at batch 1024 - compile-stable
-  (2118 samples/s reproduced across runs). The reference-architecture
+  (2118 samples/s reproduced across runs at the former >=64 gate; ~2158
+  with the N=16 sites admitted, BASELINE.md). The reference-architecture
   85-lane stem variant is faster on lucky compiles but flips 1461<->2003
   samples/s between compiles (BASELINE.md), so it is not the headline.
 - **CelebA-HQ flagship**: dim=256 / channels=3 / mults (1,2,2,2,2) on 16x16
@@ -389,10 +390,11 @@ def main():
 
     # 1. Headline: the shipped PolyMNIST TPU sampling preset
     #    (ScoreConfig.polymnist_tpu sample flavor: 128-wide stem + MXU
-    #    depthwise + fused Pallas linear attention on the >=64-position
+    #    depthwise + fused Pallas linear attention on the >=16-position
     #    levels), b1024. Compile-stable: 2118 samples/s reproduced across
-    #    runs (the Pallas kernel pins the attention layout, and the
-    #    persistent executable cache pins the rest).
+    #    runs at the former >=64 gate, ~2158 with the N=16 sites admitted
+    #    (the Pallas kernel pins the attention layout, and the persistent
+    #    executable cache pins the rest).
     try:
         poly_tpu = Workload("poly-tpu", 128, 10, 8, (1, 2, 2, 2), 100,
                             init_dim=128, mxu=True, pallas_attn=True,

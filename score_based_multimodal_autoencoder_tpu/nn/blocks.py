@@ -300,6 +300,7 @@ class LinearAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_norms: bool = False
     pallas_attn: bool = False
+    pallas_min_positions: int = 16
 
     @nn.compact
     def __call__(self, x):
@@ -307,10 +308,15 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         # Kernel only where there are enough spatial positions to fill VPU
-        # sublanes: at the deep levels (N <= 16, down to 1x1 grids) a
+        # sublanes: at the deepest levels (N <= 4, down to 1x1 grids) a
         # pallas_call is pure per-program overhead and breaks XLA's fusion
-        # of the tiny ops, which measured 4x slower whole-model.
-        if self.pallas_attn and H * W >= 64:
+        # of the tiny ops, which measured 4x slower whole-model when fully
+        # ungated. A round-3 flagship trace showed the N=16 (4x4) sites
+        # paying ~7% of sampling time in layout copies around the XLA
+        # einsums; admitting them measured an in-model WIN (2,158 vs 2,118
+        # samples/s interleaved same-run, BASELINE.md), so the default
+        # threshold is 16.
+        if self.pallas_attn and H * W >= self.pallas_min_positions:
             from ..ops.linear_attention import fused_linear_attention
 
             interpret = jax.default_backend() != "tpu"

@@ -94,6 +94,10 @@ class LatentUNet(nn.Module):
     # Route linear attention through the fused Pallas kernel
     # (ops/linear_attention.py). Forward-only: sampling-time knob.
     pallas_linear_attn: bool = False
+    # Smallest H*W the Pallas attention kernel is admitted at (the N <= 4
+    # sites are always better off in XLA; N = 16 measured an in-model win -
+    # see nn/blocks.py and BASELINE.md).
+    pallas_min_positions: int = 16
     # tanh-approximated GELU instead of exact erf: ~1.3x faster sampling on
     # TPU (see nn/blocks.py ConvNeXtBlock). Default False = torch parity.
     approx_gelu: bool = False
@@ -140,7 +144,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_out, dim_out, f"down{i}_block2")(x, t)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
-                                pallas_attn=self.pallas_linear_attn),
+                                pallas_attn=self.pallas_linear_attn,
+                                pallas_min_positions=self.pallas_min_positions),
                 fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
@@ -176,7 +181,8 @@ class LatentUNet(nn.Module):
             x = self._block(dim_in, dim_in, f"up{j}_block2")(x, t)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
-                                pallas_attn=self.pallas_linear_attn),
+                                pallas_attn=self.pallas_linear_attn,
+                                pallas_min_positions=self.pallas_min_positions),
                 fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)

@@ -21,10 +21,13 @@ so a (N, 3*heads*d) = (256, 384) tile is ~400 KB in VMEM at f32.
 
 Measured (TPU v5e, B=1024, N=64): standalone the kernel beats the XLA
 composition 7x (1.12 ms vs 8.21 ms; batch_tile=32 is the sweep winner,
->=128 overflows VMEM/compile). In-model it must be gated to sites with
-N >= 64 positions - at the deep UNet levels (N <= 16, down to 1x1 grids)
-the pallas_call boundary is pure overhead and measured 4x slower
-whole-model (nn/blocks.py applies the gate).
+>=128 overflows VMEM/compile). In-model it must be gated: at the deepest
+UNet levels (N <= 4, down to 1x1 grids) the pallas_call boundary is pure
+overhead and fully ungated it measured 4x slower whole-model. The N = 16
+(4x4) sites DO win - a round-3 flagship trace showed them paying ~7% of
+sampling time in layout copies around the XLA einsums, and admitting them
+measured 2,158 vs 2,118 samples/s interleaved same-run - so the module
+gate defaults to N >= 16 (nn/blocks.py ``pallas_min_positions``).
 """
 
 from __future__ import annotations

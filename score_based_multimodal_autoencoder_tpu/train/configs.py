@@ -100,7 +100,7 @@ class ScoreConfig:
     mxu_max_positions: int = 256
     # tanh-approx GELU (vs torch-exact erf): ~1.3x faster sampling on TPU.
     approx_gelu: bool = False
-    # Fused Pallas linear attention (ops/linear_attention.py) on the >=64
+    # Fused Pallas linear attention (ops/linear_attention.py) on the >=16
     # position levels. Forward-only (no VJP): applied ONLY when
     # build_model(sample=True) - trainers keep the differentiable XLA path.
     pallas_linear_attn: bool = False
