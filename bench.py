@@ -8,8 +8,9 @@ Two workloads, both fused whole-trajectory ``lax.scan`` programs:
   is the shipped TPU sampling preset (128-wide stem + MXU depthwise +
   fused Pallas linear attention on the >=16-position levels,
   ScoreConfig.polymnist_tpu sample flavor) at batch 1024 - compile-stable
-  (2118 samples/s reproduced across runs at the former >=64 gate; ~2158
-  with the N=16 sites admitted, BASELINE.md). The reference-architecture
+  (2118 samples/s reproduced across runs at the former >=64 gate/
+  head-looped kernel; ~2333 with the N=16 sites admitted and the
+  joint-head kernel body, BASELINE.md). The reference-architecture
   85-lane stem variant is faster on lucky compiles but flips 1461<->2003
   samples/s between compiles (BASELINE.md), so it is not the headline.
 - **CelebA-HQ flagship**: dim=256 / channels=3 / mults (1,2,2,2,2) on 16x16
@@ -391,10 +392,10 @@ def main():
     # 1. Headline: the shipped PolyMNIST TPU sampling preset
     #    (ScoreConfig.polymnist_tpu sample flavor: 128-wide stem + MXU
     #    depthwise + fused Pallas linear attention on the >=16-position
-    #    levels), b1024. Compile-stable: 2118 samples/s reproduced across
-    #    runs at the former >=64 gate, ~2158 with the N=16 sites admitted
-    #    (the Pallas kernel pins the attention layout, and the persistent
-    #    executable cache pins the rest).
+    #    levels), b1024. Compile-stable: ~2333 samples/s with the >=16
+    #    gate + joint-head kernel (2118 at the former >=64 gate with the
+    #    head-looped body; the Pallas kernel pins the attention layout,
+    #    and the persistent executable cache pins the rest).
     try:
         poly_tpu = Workload("poly-tpu", 128, 10, 8, (1, 2, 2, 2), 100,
                             init_dim=128, mxu=True, pallas_attn=True,
@@ -471,11 +472,13 @@ def main():
 
     # 3. CelebA-HQ flagship: 16x16 grid, dim=256, mults (1,2,2,2,2), N=1000
     #    (the reference's costliest loop). TPU preset model
-    #    (ScoreConfig.celebhq_tpu: 256 stem + MXU depthwise).
+    #    (ScoreConfig.celebhq_tpu sample flavor: 256 stem + MXU depthwise +
+    #    joint-head Pallas attention - 17.2 vs 17.1 samples/s, BASELINE.md).
     if left() > 600:
         try:
             cel = Workload("celebhq", 256, 3, 16, (1, 2, 2, 2, 2), 1000,
-                           init_dim=256, mxu=True, approx_gelu=True)
+                           init_dim=256, mxu=True, pallas_attn=True,
+                           approx_gelu=True)
             # bake_params=False: the ~430 MB param tree must ride as a jit
             # argument or the serialized HLO kills the remote compile.
             m = cel.measure(256, peak, "celebhq-b256", reps=2,

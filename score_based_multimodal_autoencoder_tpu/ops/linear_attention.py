@@ -5,11 +5,11 @@ The round-2 TPU profile of the PolyMNIST sampler showed ~105 ms / 100 steps
 relays the (B, N, heads, d) operands between the two contractions and the
 softmaxes (BASELINE.md; an explicit-transpose probe LOST, so the copies
 cannot be removed at the XLA level). This kernel computes the whole
-attention body - per-head q/k softmaxes, the (d x e) context contraction
-and the output contraction (/root/reference/unet_model.py:151-177) - in one
-VMEM pass per batch tile, with NO intermediate HBM round trips or
-relayouts: heads are walked as 128-lane-aligned column slices of the
-channel-contiguous qkv tensor.
+attention body - q/k softmaxes, the (d x e) context contraction and the
+output contraction (/root/reference/unet_model.py:151-177) - in one VMEM
+pass per batch tile, with NO intermediate HBM round trips or relayouts;
+all heads are processed jointly at full lane width (see
+``_linear_attn_kernel``).
 
 Forward-only by design: the samplers (the hot path) never differentiate
 through attention. Training keeps the plain-XLA composition, so the flag
@@ -48,34 +48,56 @@ except Exception:  # pragma: no cover
 def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
     """One grid step: a (Bt, N, 3*heads*dim_head) tile -> (Bt, N, hidden).
 
-    Per head h the channel-contiguous layout gives q/k/v as static
-    128-lane-friendly column slices; the two contractions are (d x e) and
-    (N x d) dot_generals batched over the tile's batch axis.
+    All heads are processed JOINTLY in the channel-contiguous layout:
+    the transcendentals (exp, divide) run once over the full
+    ``heads*dim_head``-lane tensors (a head-looped kernel leaves 3/4 of
+    the VPU lanes idle at dim_head=32), and the two contractions run as
+    single full-width dot_generals with the cross-head context blocks
+    masked to zero - mathematically identical to the per-head pair (the
+    extra products are exact zeros). In-model this joint-head body measures
+    2,333 vs 2,167 samples/s (+7.7%) on the PolyMNIST flagship sampler
+    (BASELINE.md round 3).
+
+    Softmax structure: k's softmax is over N (columnwise), so the joint
+    tensor computes it identically for free; q's softmax is over each
+    head's own dim_head lanes, so its max/sum reduce per head-slice and
+    broadcast back before the single full-lane exp/divide.
     """
     Bt, N, _ = qkv_ref.shape
     hidden = heads * dim_head
     qkv = qkv_ref[...].astype(jnp.float32)
+    q = qkv[:, :, :hidden]
+    k = qkv[:, :, hidden:2 * hidden]
+    v = qkv[:, :, 2 * hidden:]
 
-    for h in range(heads):
-        q = qkv[:, :, h * dim_head:(h + 1) * dim_head]
-        k = qkv[:, :, hidden + h * dim_head:hidden + (h + 1) * dim_head]
-        v = qkv[:, :, 2 * hidden + h * dim_head:2 * hidden + (h + 1) * dim_head]
-        # softmax(q) over d (lanes), softmax(k) over N (sublanes).
-        q = q - jnp.max(q, axis=2, keepdims=True)
-        q = jnp.exp(q)
-        q = q / jnp.sum(q, axis=2, keepdims=True)
-        k = k - jnp.max(k, axis=1, keepdims=True)
-        k = jnp.exp(k)
-        k = k / jnp.sum(k, axis=1, keepdims=True)
-        q = q * scale
-        # context[d, e] = sum_n k[n, d] v[n, e]; out[n, e] = sum_d q[n, d] c[d, e]
-        context = jax.lax.dot_general(
-            k, v, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (Bt, d, e)
-        out = jax.lax.dot_general(
-            q, context, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (Bt, N, e)
-        o_ref[:, :, h * dim_head:(h + 1) * dim_head] = out.astype(o_ref.dtype)
+    # softmax(q) over each head's d lanes: segment max/sum, full-lane exp.
+    def _per_head(x, reduce_fn):
+        return jnp.concatenate(
+            [jnp.broadcast_to(
+                reduce_fn(x[:, :, h * dim_head:(h + 1) * dim_head],
+                          axis=2, keepdims=True),
+                (Bt, N, dim_head))
+             for h in range(heads)], axis=2)
+
+    q = jnp.exp(q - _per_head(q, jnp.max))
+    q = q / _per_head(q, jnp.sum) * scale
+    # softmax(k) over N (sublanes) is columnwise: joint == per-head.
+    k = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+
+    # context[d, e] = sum_n k[n, d] v[n, e], valid only within a head's
+    # diagonal (d, e) block; the block-diagonal mask zeroes the cross-head
+    # blocks so the output contraction sums exact zeros for them.
+    context = jax.lax.dot_general(
+        k, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (Bt, hidden, hidden)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    context = context * (d_idx // dim_head == e_idx // dim_head)
+    out = jax.lax.dot_general(
+        q, context, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (Bt, N, hidden)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head",
@@ -103,6 +125,9 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
     hidden = heads * dim_head
     assert C == 3 * hidden, (C, hidden)
     bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
+    # The joint-head kernel materializes a (bt, hidden, hidden) f32 context
+    # per tile; cap bt so it stays ~4 MB of the ~16 MB scoped VMEM.
+    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
     bt = min(bt, B)
     # Largest divisor of B <= the target: repeated halving degenerates to
     # near-1 tiles when B shares few factors with the ~2048-row target

@@ -143,15 +143,17 @@ class ScoreConfig:
     @classmethod
     def celebhq_tpu(cls, **kw):
         """CelebA flagship tuned for TPU (stem 170 -> 256, MXU depthwise
-        on the <=16x16 levels, tanh-approx GELU). The Pallas linear
-        attention is NOT enabled here: measured 16.8 vs 17.1 samples/s at
-        b256 (attention is a smaller fraction at dim=256, and the f32
-        kernel pays extra bandwidth at N=256 with the VMEM-bounded batch
-        tile) - it wins only on the PolyMNIST flagship."""
+        on the <=16x16 levels, tanh-approx GELU, Pallas linear attention
+        in the sampling flavor). The original head-looped kernel LOST here
+        (16.8 vs 17.1 samples/s at b256: attention is a smaller fraction
+        at dim=256 and it paid extra VMEM bandwidth at N=256); the
+        joint-head rewrite wins at both scales (17.2 vs 17.1 at b256,
+        70.0 % vs 69.5 % MFU - BASELINE.md round 3), so the preset now
+        enables it like ``polymnist_tpu``."""
         defaults = dict(preset="celebhq", dim=256, channels=3,
                         dim_mults=(1, 2, 2, 2, 2), latent_hw=16,
                         sample_n=1000, init_dim=256, mxu_depthwise=True,
-                        approx_gelu=True)
+                        approx_gelu=True, pallas_linear_attn=True)
         defaults.update(kw)
         return cls(**defaults)
 
