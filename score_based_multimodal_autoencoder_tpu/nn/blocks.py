@@ -286,6 +286,41 @@ class Attention(nn.Module):
         return nn.Conv(C, (1, 1), dtype=self.dtype, name="to_out")(out)
 
 
+class _ConvParams(nn.Module):
+    """Declare a 1x1 ``nn.Conv``'s params WITHOUT running the conv.
+
+    Same param names ("kernel"/"bias"), shapes ((1, 1, in, out) / (out,))
+    and initializers (lecun_normal / zeros) as ``nn.Conv`` - so a module
+    that consumes the weights inside a fused Pallas kernel keeps a
+    checkpoint-identical param tree (give this child the conv's name)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _GNParams(nn.Module):
+    """Declare ``nn.GroupNorm``'s scale/bias params without running it
+    (same names/shapes/initializers; see _ConvParams)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class LinearAttention(nn.Module):
     """Linear attention (unet_model.py:151-177): softmax(q over d),
     softmax(k over n), context = k v^T, out = context^T q.
@@ -293,7 +328,13 @@ class LinearAttention(nn.Module):
     ``pallas_attn`` routes the attention body (both softmaxes + both
     contractions) through the fused Pallas kernel
     (ops/linear_attention.py) - identical values, no relayout copies;
-    forward-only, so it is a sampling-time knob."""
+    forward-only, so it is a sampling-time knob. With ``pallas_block``
+    also True (the default), ``PreNormResidual`` upgrades the gated sites
+    to the WHOLE-block kernel (pre-GN + to_qkv + attention + to_out +
+    out_norm + residual in one VMEM pass, ops/linear_attention.py
+    ``fused_attention_block``) by passing its pre-norm params via the
+    ``pre_gn`` argument; the param tree is unchanged (param-only children
+    reuse the conv/norm names)."""
 
     heads: int = 4
     dim_head: int = 32
@@ -301,11 +342,39 @@ class LinearAttention(nn.Module):
     fused_norms: bool = False
     pallas_attn: bool = False
     pallas_min_positions: int = 16
+    pallas_block: bool = True
+
+    @nn.nowrap
+    def wants_block_fusion(self, x_shape) -> bool:
+        """Static (config + shape) gate for whole-block kernel fusion."""
+        B, H, W, C = x_shape
+        return (self.pallas_attn and self.pallas_block
+                and not self.fused_norms
+                and H * W >= self.pallas_min_positions)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_gn=None):
+        """``pre_gn``: the owning ``PreNormResidual``'s (scale, bias) -
+        when given (and :meth:`wants_block_fusion` holds) the WHOLE block
+        x + GN1(to_out(attn(to_qkv(GN1(x))))) runs as one Pallas kernel
+        and the return value already includes the residual."""
         B, H, W, C = x.shape
         hidden = self.heads * self.dim_head
+        if pre_gn is not None:
+            assert self.wants_block_fusion(x.shape)
+            from ..ops.linear_attention import fused_attention_block
+
+            w_qkv, _ = _ConvParams(hidden * 3, C, use_bias=False,
+                                   name="to_qkv")()
+            w_out, b_out = _ConvParams(C, hidden, name="to_out")()
+            out_scale, out_bias = _GNParams(C, name="out_norm")()
+            out = fused_attention_block(
+                x.reshape(B, H * W, C), pre_gn[0], pre_gn[1],
+                w_qkv.reshape(C, 3 * hidden), w_out.reshape(hidden, C),
+                b_out, out_scale, out_bias, heads=self.heads,
+                dim_head=self.dim_head,
+                interpret=jax.default_backend() != "tpu")
+            return out.reshape(B, H, W, C)
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         # Kernel only where there are enough spatial positions to fill VPU
         # sublanes: at the deepest levels (N <= 4, down to 1x1 grids) a
@@ -339,13 +408,22 @@ class LinearAttention(nn.Module):
 
 
 class PreNormResidual(nn.Module):
-    """x + fn(GroupNorm(1)(x)) (unet_model.py:21-27, 179-187)."""
+    """x + fn(GroupNorm(1)(x)) (unet_model.py:21-27, 179-187).
+
+    When ``fn`` is a gated-in Pallas ``LinearAttention``, the whole block
+    (this pre-norm included) runs as one fused kernel: the "norm" params
+    are declared here (checkpoint-identical tree) and handed to the child,
+    whose return value then already includes the residual."""
 
     fn: nn.Module
     fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (isinstance(self.fn, LinearAttention)
+                and self.fn.wants_block_fusion(x.shape)):
+            scale, bias = _GNParams(x.shape[-1], name="norm")()
+            return self.fn(x, pre_gn=(scale, bias))
         return x + self.fn(
             _gn_act(x, 1, "norm", x.dtype, fused=self.fused_norms))
 

@@ -98,6 +98,11 @@ class LatentUNet(nn.Module):
     # sites are always better off in XLA; N = 16 measured an in-model win -
     # see nn/blocks.py and BASELINE.md).
     pallas_min_positions: int = 16
+    # Fuse the WHOLE PreNormResidual(LinearAttention) block (pre-GN + qkv
+    # matmul + attention + out matmul + out-GN + residual) into one Pallas
+    # kernel at the gated sites (nn/blocks.py, ops/linear_attention.py
+    # fused_attention_block). Only active with pallas_linear_attn.
+    pallas_block_fusion: bool = True
     # tanh-approximated GELU instead of exact erf: ~1.3x faster sampling on
     # TPU (see nn/blocks.py ConvNeXtBlock). Default False = torch parity.
     approx_gelu: bool = False
@@ -145,7 +150,8 @@ class LatentUNet(nn.Module):
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
                                 pallas_attn=self.pallas_linear_attn,
-                                pallas_min_positions=self.pallas_min_positions),
+                                pallas_min_positions=self.pallas_min_positions,
+                                pallas_block=self.pallas_block_fusion),
                 fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
@@ -182,7 +188,8 @@ class LatentUNet(nn.Module):
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
                                 pallas_attn=self.pallas_linear_attn,
-                                pallas_min_positions=self.pallas_min_positions),
+                                pallas_min_positions=self.pallas_min_positions,
+                                pallas_block=self.pallas_block_fusion),
                 fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)

@@ -100,6 +100,117 @@ def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
+                       w_out_ref, b_out_ref, out_scale_ref, out_bias_ref,
+                       o_ref, *, heads, dim_head, scale, eps):
+    """One grid step of the WHOLE PreNormResidual(LinearAttention) block:
+
+        out = x + GN1(to_out(linear_attn(to_qkv(GN1(x)))))
+
+    (unet_model.py:21-27, 151-187) for a (Bt, N, C) batch tile, entirely in
+    VMEM. Compared to ``_linear_attn_kernel`` this also absorbs the two
+    1x1-conv matmuls, both GroupNorm(1)s and the residual add, eliminating
+    the pallas_call boundary relayouts the round-3 xplane trace still
+    charged ~8.7% of device time to. GroupNorm(1) reduces over (N, C) per
+    sample - the tile holds the full position axis, so the statistics are
+    exact. All math f32; the attention body is ``_linear_attn_kernel``'s
+    joint-head formulation.
+    """
+    Bt, N, C = x_ref.shape
+    hidden = heads * dim_head
+    x = x_ref[...].astype(jnp.float32)
+
+    def _gn1(h, s, b):
+        mu = jnp.mean(h, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(h), axis=(1, 2), keepdims=True) - mu * mu
+        return (h - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+    y = _gn1(x, pre_scale_ref[...].astype(jnp.float32),
+             pre_bias_ref[...].astype(jnp.float32))
+    qkv = jax.lax.dot_general(
+        y, w_qkv_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Bt, N, 3*hidden)
+    q = qkv[:, :, :hidden]
+    k = qkv[:, :, hidden:2 * hidden]
+    v = qkv[:, :, 2 * hidden:]
+
+    def _per_head(t, reduce_fn):
+        return jnp.concatenate(
+            [jnp.broadcast_to(
+                reduce_fn(t[:, :, h * dim_head:(h + 1) * dim_head],
+                          axis=2, keepdims=True),
+                (Bt, N, dim_head))
+             for h in range(heads)], axis=2)
+
+    q = jnp.exp(q - _per_head(q, jnp.max))
+    q = q / _per_head(q, jnp.sum) * scale
+    k = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))
+    k = k / jnp.sum(k, axis=1, keepdims=True)
+
+    context = jax.lax.dot_general(
+        k, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (Bt, hidden, hidden)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    context = context * (d_idx // dim_head == e_idx // dim_head)
+    att = jax.lax.dot_general(
+        q, context, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (Bt, N, hidden)
+
+    o = jax.lax.dot_general(
+        att, w_out_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_out_ref[...].astype(
+            jnp.float32)  # (Bt, N, C)
+    o = _gn1(o, out_scale_ref[...].astype(jnp.float32),
+             out_bias_ref[...].astype(jnp.float32))
+    o_ref[...] = (x + o).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head", "eps",
+                                             "batch_tile", "interpret"))
+def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
+                          out_scale, out_bias, heads=4, dim_head=32,
+                          eps=1e-5, batch_tile=None, interpret=False):
+    """Whole PreNormResidual(LinearAttention) block as ONE pallas_call.
+
+    ``x``: (B, N, C) positions-flattened activations; weight operands are
+    the flax param arrays reshaped 2-D: ``w_qkv`` (C, 3*heads*dim_head),
+    ``w_out`` (heads*dim_head, C), GroupNorm scales/biases (C,). Same
+    VMEM-driven batch-tile rule as ``fused_linear_attention``; weights ride
+    whole (grid-invariant blocks). f32 math throughout - for bf16 modules
+    this is the higher-precision side of the XLA composition (~1e-2 rel).
+    """
+    if not _HAS_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    B, N, C = x.shape
+    hidden = heads * dim_head
+    assert w_qkv.shape == (C, 3 * hidden), (w_qkv.shape, C, hidden)
+    assert w_out.shape == (hidden, C), (w_out.shape, hidden, C)
+    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
+    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
+    bt = min(bt, B)
+    while B % bt:
+        bt -= 1
+    kernel = functools.partial(_attn_block_kernel, heads=heads,
+                               dim_head=dim_head, scale=dim_head ** -0.5,
+                               eps=eps)
+    vec_spec = lambda d: pl.BlockSpec((d,), lambda i: (0,))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, N, C), lambda i: (i, 0, 0)),
+            vec_spec(C), vec_spec(C),
+            pl.BlockSpec((C, 3 * hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, C), lambda i: (0, 0)),
+            vec_spec(C), vec_spec(C), vec_spec(C),
+        ],
+        out_specs=pl.BlockSpec((bt, N, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=interpret,
+    )(x, pre_scale, pre_bias, w_qkv, w_out, b_out, out_scale, out_bias)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head",
                                              "batch_tile", "interpret"))
 def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
