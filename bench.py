@@ -134,12 +134,14 @@ class Workload:
 
     def __init__(self, name, dim, channels, hw, mults, n_steps,
                  init_dim=None, mxu=False, pallas_attn=False,
-                 approx_gelu=False, mxu_max_positions=256):
+                 approx_gelu=False, mxu_max_positions=256,
+                 block_fusion=True):
         self.name, self.hw, self.channels, self.n_steps = name, hw, channels, n_steps
         self.model = LatentUNet(dim=dim, channels=channels, dim_mults=mults,
                                 init_dim=init_dim, mxu_depthwise=mxu,
                                 mxu_max_positions=mxu_max_positions,
                                 pallas_linear_attn=pallas_attn,
+                                pallas_block_fusion=block_fusion,
                                 approx_gelu=approx_gelu,
                                 dtype=jnp.bfloat16)
         x0 = jnp.zeros((2, hw, hw, channels), jnp.float32)
@@ -392,10 +394,11 @@ def main():
     # 1. Headline: the shipped PolyMNIST TPU sampling preset
     #    (ScoreConfig.polymnist_tpu sample flavor: 128-wide stem + MXU
     #    depthwise + fused Pallas linear attention on the >=16-position
-    #    levels), b1024. Compile-stable: ~2333 samples/s with the >=16
-    #    gate + joint-head kernel (2118 at the former >=64 gate with the
-    #    head-looped body; the Pallas kernel pins the attention layout,
-    #    and the persistent executable cache pins the rest).
+    #    levels + whole-block fusion), b1024. Compile-stable: ~2333
+    #    samples/s with the >=16 gate + joint-head kernel (2118 at the
+    #    former >=64 gate with the head-looped body; the Pallas kernel pins
+    #    the attention layout, and the persistent executable cache pins the
+    #    rest).
     try:
         poly_tpu = Workload("poly-tpu", 128, 10, 8, (1, 2, 2, 2), 100,
                             init_dim=128, mxu=True, pallas_attn=True,
@@ -408,20 +411,44 @@ def main():
         log(f"headline variant FAILED: {e}")
         poly_tpu = None
 
-    # 2. Baseline anchor: reference pattern end to end - per-step Python
-    #    dispatch, reference architecture (85-lane stem, conv-emitter
-    #    depthwise), reference batch 256 (fid_upd10.py:632), same chip.
+    # 1b. A/B: the qkv-only attention kernel (block fusion off). Isolates
+    #     the whole-block kernel's contribution over the round-3 headline
+    #     config, and is the FIRST fallback if the block kernel regresses
+    #     (fallback chain: whole-block -> qkv-only -> pure XLA; the round-3
+    #     driver run lost 12% by falling straight to XLA, VERDICT r3).
+    if left() > 300:
+        try:
+            poly_qkv = Workload("poly-qkv", 128, 10, 8, (1, 2, 2, 2), 100,
+                                init_dim=128, mxu=True, pallas_attn=True,
+                                approx_gelu=True, block_fusion=False)
+            m = poly_qkv.measure(1024, peak, "qkv-pallas-b1024", reps=6,
+                                 bake_params=True)
+            result["qkv_attn_sps"] = round(m["sps"], 2)
+            if not result["value"]:
+                result["value"] = round(m["sps"], 2)
+                result["mfu"] = round(m["mfu"], 4)
+                result["config"] = "tpu128-pallas-qkv-b1024 (block-fusion fallback)"
+                poly_tpu = poly_qkv
+        except Exception as e:
+            log(f"qkv-only variant FAILED: {e}")
+
+    # 2. Reference-pattern anchor: per-step Python dispatch, reference
+    #    architecture (85-lane stem, conv-emitter depthwise), reference
+    #    batch 256 (fid_upd10.py:632), same chip. Its cost scales with the
+    #    tunneled device-link RTT (measured 231-993 samples/s across
+    #    driver runs), so it is reported as the link-sensitive
+    #    ``vs_ref_pattern``; the primary ``vs_baseline`` anchors on the
+    #    dispatch-amortized same-model loop below (stable run to run).
     base_sps = 0.0
+    poly_ref = None
     try:
         poly_ref = Workload("poly-ref", 128, 10, 8, (1, 2, 2, 2), 100)
         base_sec = poly_ref.time_python_loop(256)
         base_sps = 256 / base_sec
         log(f"python-loop (ref-b256): med {base_sec:.3f}s/batch -> "
-            f"{base_sps:.1f} samples/s  [reference pattern: vs_baseline anchor]")
-        if result["value"]:
-            result["vs_baseline"] = round(result["value"] / base_sps, 3)
+            f"{base_sps:.1f} samples/s  [reference pattern: link-sensitive anchor]")
     except Exception as e:
-        log(f"baseline anchor FAILED: {e}")
+        log(f"reference-pattern anchor FAILED: {e}")
 
     # 2b. Training-step throughput (jitted DSM grad+update, b1024) on the
     #     TRAIN flavor of the preset: no Pallas attention (forward-only
@@ -474,29 +501,42 @@ def main():
     #    (the reference's costliest loop). TPU preset model
     #    (ScoreConfig.celebhq_tpu sample flavor: 256 stem + MXU depthwise +
     #    joint-head Pallas attention - 17.2 vs 17.1 samples/s, BASELINE.md).
+    #    A Pallas failure retries with the pure-XLA attention path so the
+    #    reference's costliest loop ALWAYS gets a driver-artifact number
+    #    (round 3 had no celebhq row at all, VERDICT r3 missing #2).
     if left() > 600:
-        try:
-            cel = Workload("celebhq", 256, 3, 16, (1, 2, 2, 2, 2), 1000,
-                           init_dim=256, mxu=True, pallas_attn=True,
-                           approx_gelu=True)
-            # bake_params=False: the ~430 MB param tree must ride as a jit
-            # argument or the serialized HLO kills the remote compile.
-            m = cel.measure(256, peak, "celebhq-b256", reps=2,
-                            bake_params=False)
-            result["celebhq_sps"] = round(m["sps"], 2)
-            result["celebhq_mfu"] = round(m["mfu"], 4)
-            # Reference-pattern anchor for the 1000-step chain: per-step
-            # dispatch at the same batch - the loop the reference runs once
-            # per eval batch (train_lat_celebhq_unet_cont2.py:287-307).
-            if left() > 600:
+        cel = None
+        for pallas_attn in (True, False):
+            label = "celebhq-b256" if pallas_attn else "celebhq-xla-b256"
+            try:
+                cel = Workload("celebhq", 256, 3, 16, (1, 2, 2, 2, 2), 1000,
+                               init_dim=256, mxu=True,
+                               pallas_attn=pallas_attn, approx_gelu=True)
+                # bake_params=False: the ~430 MB param tree must ride as a
+                # jit argument or the serialized HLO kills the remote
+                # compile.
+                m = cel.measure(256, peak, label, reps=2, bake_params=False)
+                result["celebhq_sps"] = round(m["sps"], 2)
+                result["celebhq_mfu"] = round(m["mfu"], 4)
+                if not pallas_attn:
+                    result["celebhq_config"] = "xla-attn fallback"
+                break
+            except Exception as e:
+                log(f"celebhq variant ({label}) FAILED: {e}")
+                cel = None
+        # Reference-pattern anchor for the 1000-step chain: per-step
+        # dispatch at the same batch - the loop the reference runs once
+        # per eval batch (train_lat_celebhq_unet_cont2.py:287-307).
+        if cel is not None and left() > 600:
+            try:
                 ref_sec = cel.time_python_loop(256, reps=2,
                                                bake_params=False)
                 log(f"python-loop (celebhq-b256): med {ref_sec:.3f}s/batch "
                     f"-> {256/ref_sec:.1f} samples/s")
                 result["celebhq_vs_ref_pattern"] = round(
                     ref_sec / m["sec"], 3)
-        except Exception as e:
-            log(f"celebhq variant FAILED: {e}")
+            except Exception as e:
+                log(f"celebhq ref-pattern anchor FAILED: {e}")
 
     # 4. The same preset WITHOUT the Pallas attention kernel. Runs even if
     #    the Pallas headline failed: it isolates the kernel's contribution
@@ -518,25 +558,37 @@ def main():
                 result["value"] = round(m["sps"], 2)
                 result["mfu"] = round(m["mfu"], 4)
                 result["config"] = "tpu128-b1024 (pallas-attn fallback)"
-                if base_sps:
-                    result["vs_baseline"] = round(m["sps"] / base_sps, 3)
         except Exception as e:
             log(f"sweep xla-attn FAILED: {e}")
-    if poly_tpu is not None and left() > 300:
+
+    # Diagnostic sweep rides whichever headline-class workload survived:
+    # a Pallas regression degrades the sweep to the XLA preset instead of
+    # dropping it entirely (round 3 lost the ref-b1024, same-model-loop
+    # and interactive fields when the kernel aborted, VERDICT r3 weak #3).
+    sweep_wl = poly_tpu if poly_tpu is not None else poly_xla
+    if sweep_wl is not None and poly_ref is not None and left() > 300:
         try:
             ref_fused = poly_ref.measure(1024, peak, "ref-b1024",
                                          bake_params=True)
             del ref_fused
         except Exception as e:
             log(f"sweep ref-b1024 FAILED: {e}")
-    if poly_tpu is not None and left() > 300:
+    # Same-model/batch per-step loop: the PRIMARY vs_baseline anchor. At
+    # b1024 the per-step dispatch amortizes over the batch, so it is
+    # stable run to run (~1,960 samples/s, BASELINE.md) where the b256
+    # reference-pattern anchor swings 2-9x with tunnel RTT (VERDICT r3
+    # weak #6). It embodies the same baseline pattern - one host dispatch
+    # per EM step - with model and batch held equal.
+    same_sps = 0.0
+    if sweep_wl is not None and left() > 300:
         try:
-            same_sec = poly_tpu.time_python_loop(1024)
+            same_sec = sweep_wl.time_python_loop(1024)
+            same_sps = 1024 / same_sec
             log(f"python-loop (tpu128-b1024): med {same_sec:.3f}s/batch -> "
-                f"{1024/same_sec:.1f} samples/s  [same-model/batch loop]")
+                f"{same_sps:.1f} samples/s  [same-model/batch loop: primary anchor]")
         except Exception as e:
             log(f"sweep python-loop FAILED: {e}")
-    if poly_tpu is not None and left() > 300:
+    if sweep_wl is not None and left() > 300:
         # Small-batch/interactive sampling: the axis where the fused scan
         # must dominate regardless of batch - per-step dispatch cannot
         # amortize at B=16 (100 host round-trips per 16 samples). The
@@ -544,14 +596,27 @@ def main():
         # gap shrinks but the 100x dispatch-count ratio is architectural.
         try:
             b = 16
-            fused_sec = poly_tpu.time_fused(b, reps=10, bake_params=True)
-            loop_sec = poly_tpu.time_python_loop(b, reps=3)
+            fused_sec = sweep_wl.time_fused(b, reps=10, bake_params=True)
+            loop_sec = sweep_wl.time_python_loop(b, reps=3)
             log(f"interactive b{b}: fused {fused_sec*1e3:.0f} ms vs "
                 f"per-step loop {loop_sec*1e3:.0f} ms "
                 f"({loop_sec/fused_sec:.1f}x)")
             result["interactive_b16_speedup"] = round(loop_sec / fused_sec, 2)
         except Exception as e:
             log(f"sweep interactive FAILED: {e}")
+
+    # vs_baseline: primary = dispatch-amortized same-model/batch loop
+    # (stable); the RTT-dominated reference-pattern ratio is kept as the
+    # link-sensitive ``vs_ref_pattern`` (VERDICT r3 next #8).
+    if result["value"]:
+        if same_sps:
+            result["vs_baseline"] = round(result["value"] / same_sps, 3)
+            result["vs_baseline_anchor"] = "same-model-per-step-loop-b1024"
+        if base_sps:
+            result["vs_ref_pattern"] = round(result["value"] / base_sps, 3)
+            if not same_sps:
+                result["vs_baseline"] = round(result["value"] / base_sps, 3)
+                result["vs_baseline_anchor"] = "ref-pattern-b256 (link-sensitive)"
 
     print(json.dumps(result))
 

@@ -53,13 +53,19 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh)")
-    p.add_argument("--steps-per-dispatch", type=int, default=1,
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="fuse K optimizer steps into one lax.scan device "
                         "dispatch (identical trajectory; amortizes "
-                        "dispatch latency on remote/tunneled devices)")
+                        "dispatch latency on remote/tunneled devices). "
+                        "Default: auto - 8 on TPU backends, 1 on CPU "
+                        "(train.trainer.auto_steps_per_dispatch)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/cond_score")
     args = p.parse_args()
+
+    from ..train.trainer import auto_steps_per_dispatch
+
+    args.steps_per_dispatch = auto_steps_per_dispatch(args.steps_per_dispatch)
 
     import jax.numpy as jnp
     import numpy as np

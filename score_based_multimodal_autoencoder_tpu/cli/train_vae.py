@@ -34,16 +34,22 @@ def main():
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--resume", action="store_true",
                    help="continue from the resume checkpoint in --ckpt-dir")
-    p.add_argument("--steps-per-dispatch", type=int, default=1,
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="fuse K optimizer steps into one lax.scan device "
                         "dispatch (identical trajectory; amortizes "
-                        "dispatch latency on remote/tunneled devices)")
+                        "dispatch latency on remote/tunneled devices). "
+                        "Default: auto - 8 on TPU backends, 1 on CPU "
+                        "(train.trainer.auto_steps_per_dispatch)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet")
     args = p.parse_args()
+
+    from ..train.trainer import auto_steps_per_dispatch
+
+    args.steps_per_dispatch = auto_steps_per_dispatch(args.steps_per_dispatch)
 
     from ..train.configs import VAEConfig
     from ..train.trainer import train_single_vae, train_vae_fleet

@@ -121,8 +121,17 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
     x = x_ref[...].astype(jnp.float32)
 
     def _gn1(h, s, b):
-        mu = jnp.mean(h, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(h), axis=(1, 2), keepdims=True) - mu * mu
+        # Chained single-axis reductions: a direct multi-axis reduce
+        # (axis=(1, 2)) to (Bt, 1, 1) SIGABRTs Mosaic on real TPUs
+        # ("Check failed: arr.size() >= layout_rank(implicit_dim)
+        # (1 vs. 2)", the BENCH_r03 crash) while per-axis reduces lower
+        # fine - bisected live on a v5e (round 4).
+        def _mean11(t):
+            return jnp.mean(jnp.mean(t, axis=2, keepdims=True),
+                            axis=1, keepdims=True)
+
+        mu = _mean11(h)
+        var = _mean11(jnp.square(h)) - mu * mu
         return (h - mu) * jax.lax.rsqrt(var + eps) * s + b
 
     y = _gn1(x, pre_scale_ref[...].astype(jnp.float32),
@@ -179,6 +188,11 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
     VMEM-driven batch-tile rule as ``fused_linear_attention``; weights ride
     whole (grid-invariant blocks). f32 math throughout - for bf16 modules
     this is the higher-precision side of the XLA composition (~1e-2 rel).
+
+    The five (C,) vector params ride as (1, C) blocks: Mosaic rejects
+    rank-1 BlockSpec layouts on real TPU hardware
+    ("Check failed: arr.size() >= layout_rank(implicit_dim) (1 vs. 2)",
+    the BENCH_r03 SIGABRT) - same convention as ops/group_norm.py.
     """
     if not _HAS_PALLAS:  # pragma: no cover
         raise RuntimeError("pallas unavailable")
@@ -194,7 +208,7 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
     kernel = functools.partial(_attn_block_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5,
                                eps=eps)
-    vec_spec = lambda d: pl.BlockSpec((d,), lambda i: (0,))
+    vec_spec = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     return pl.pallas_call(
         kernel,
         grid=(B // bt,),
@@ -208,7 +222,8 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
         out_specs=pl.BlockSpec((bt, N, C), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         interpret=interpret,
-    )(x, pre_scale, pre_bias, w_qkv, w_out, b_out, out_scale, out_bias)
+    )(x, pre_scale.reshape(1, C), pre_bias.reshape(1, C), w_qkv, w_out,
+      b_out.reshape(1, C), out_scale.reshape(1, C), out_bias.reshape(1, C))
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head",

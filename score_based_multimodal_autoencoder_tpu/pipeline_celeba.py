@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .diffusion.samplers import conditional_sampler, unconditional_sampler
+from .pipeline import _with_pallas_fallback
 
 
 @dataclass
@@ -129,6 +130,7 @@ class HeterogeneousPipeline:
     def decode_grid(self, grid):
         return self._decode_grid(self._mod_vars, grid)
 
+    @_with_pallas_fallback
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
         """Channel-clamped conditional generation over heterogeneous
         modalities (calc_perf, train_lat_celebhq_unet_cont2.py:240-320).
@@ -184,6 +186,7 @@ class HeterogeneousPipeline:
             self._jit_cache[cache_key] = self._jit(run, batch_arg_idx=(1,))
         return self._jit_cache[cache_key](key, images, refiner_params)
 
+    @_with_pallas_fallback
     def sample_unconditional(self, key, amount: int, **overrides):
         kw = _drop_cond_only(self.sampler_kwargs, overrides)
         cache_key = ("uncond", amount, tuple(sorted(kw.items())))
@@ -242,6 +245,7 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
         er, c = _ANNEALED_GRIDS[self.track][min(n_observed, 2)]
         return jnp.asarray(er), jnp.asarray(c)
 
+    @_with_pallas_fallback
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
         from .diffusion.annealed import annealed_langevin_sampler
 
@@ -279,6 +283,7 @@ class AnnealedHeterogeneousPipeline(HeterogeneousPipeline):
         return list(self._jit_cache[cache_key](
             key, tuple(inputs), self.score_params, self._mod_vars))
 
+    @_with_pallas_fallback
     def sample_unconditional(self, key, amount: int, **overrides):
         from .diffusion.annealed import annealed_langevin_sampler
 
@@ -332,6 +337,7 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
             for m, v, x in zip(self.rep_models, rep_vars, inputs)])
         return average_condition(reps, jnp.asarray(observed_mask))
 
+    @_with_pallas_fallback
     def sample_conditional(self, key, inputs, observed_mask, **overrides):
         kw = {**self.sampler_kwargs, **overrides}
         mask = tuple(bool(b) for b in observed_mask)
@@ -356,6 +362,7 @@ class ConditionalHeterogeneousPipeline(HeterogeneousPipeline):
             key, tuple(inputs), self.score_params, self._mod_vars,
             tuple(self.rep_variables)))
 
+    @_with_pallas_fallback
     def sample_unconditional(self, key, amount: int, **overrides):
         kw = _drop_cond_only(self.sampler_kwargs, overrides)
         cache_key = ("zuncond", amount, tuple(sorted(kw.items())))

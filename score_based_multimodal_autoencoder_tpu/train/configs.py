@@ -104,6 +104,12 @@ class ScoreConfig:
     # position levels. Forward-only (no VJP): applied ONLY when
     # build_model(sample=True) - trainers keep the differentiable XLA path.
     pallas_linear_attn: bool = False
+    # Whole-block fusion at the gated sites (PreNormResidual + both 1x1
+    # matmuls + both GN1s + residual in ONE pallas_call,
+    # ops/linear_attention.py fused_attention_block). Config-level
+    # off-switch for kernel/runtime regressions; only active with
+    # pallas_linear_attn in the sampling flavor.
+    pallas_block_fusion: bool = True
 
     @classmethod
     def polymnist(cls, **kw):
@@ -173,6 +179,7 @@ class ScoreConfig:
                           mxu_max_positions=self.mxu_max_positions,
                           approx_gelu=self.approx_gelu,
                           pallas_linear_attn=self.pallas_linear_attn and sample,
+                          pallas_block_fusion=self.pallas_block_fusion,
                           dtype=dtype or jnp.float32)
 
     def build_sde(self, sample: bool = False):

@@ -103,6 +103,25 @@ def _stacked_sharding(batch_sh):
     return NamedSharding(batch_sh.mesh, P(None, *tuple(batch_sh.spec)))
 
 
+def auto_steps_per_dispatch(requested=None, k: int = 8):
+    """Resolve a CLI ``--steps-per-dispatch`` value of None (= auto).
+
+    On TPU-class backends the fused K-step scan is the right default: the
+    driver's own round-3 artifact measured 17.6k samples/s per-step vs
+    52.0k scanned under tunnel congestion (BENCH_r03.json, 2.95x) - the
+    scan's per-step cost is pure device time, immune to dispatch latency
+    (VERDICT r3 next #7). CPU (tests, local debugging) keeps 1: no
+    dispatch-latency problem to amortize, and K=1 preserves step-level
+    logging granularity.
+    """
+    if requested is not None:
+        return requested
+    try:
+        return 1 if jax.default_backend() == "cpu" else k
+    except Exception:  # pragma: no cover - backend probe failed
+        return 1
+
+
 def _make_multi_step(step_core):
     """Fuse ``step_core`` over a leading steps axis with ``lax.scan``.
 
