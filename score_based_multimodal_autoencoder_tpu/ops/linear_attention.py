@@ -45,8 +45,8 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
-    """One grid step: a (Bt, N, 3*heads*dim_head) tile -> (Bt, N, hidden).
+def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False):
+    """Joint-head linear-attention body on f32 (Bt, N, hidden) tensors.
 
     All heads are processed JOINTLY in the channel-contiguous layout:
     the transcendentals (exp, divide) run once over the full
@@ -58,29 +58,42 @@ def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
     2,333 vs 2,167 samples/s (+7.7%) on the PolyMNIST flagship sampler
     (BASELINE.md round 3).
 
-    Softmax structure: k's softmax is over N (columnwise), so the joint
-    tensor computes it identically for free; q's softmax is over each
-    head's own dim_head lanes, so its max/sum reduce per head-slice and
-    broadcast back before the single full-lane exp/divide.
+    Softmax structure: k's softmax is over N (sublanes, columnwise), so
+    the joint tensor computes it identically for free; q's softmax is over
+    each head's own dim_head lanes. Two equivalent formulations:
+
+    - ``segmm=False``: per-head max/sum reduces broadcast back via
+      concatenate (the proven round-3 body).
+    - ``segmm=True``: a ROW-GLOBAL max shift (softmax is invariant to any
+      constant shift that is uniform across a head's lanes - the row max
+      is uniform across ALL lanes) followed by one exp, with the per-head
+      denominators computed AND broadcast in a single dot_general against
+      the block-diagonal ones matrix - the per-head segment work rides
+      the MXU instead of VPU concat/broadcast shuffles.
     """
-    Bt, N, _ = qkv_ref.shape
-    hidden = heads * dim_head
-    qkv = qkv_ref[...].astype(jnp.float32)
-    q = qkv[:, :, :hidden]
-    k = qkv[:, :, hidden:2 * hidden]
-    v = qkv[:, :, 2 * hidden:]
+    Bt, N, hidden = q.shape
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    seg = d_idx // dim_head == e_idx // dim_head
 
-    # softmax(q) over each head's d lanes: segment max/sum, full-lane exp.
-    def _per_head(x, reduce_fn):
-        return jnp.concatenate(
-            [jnp.broadcast_to(
-                reduce_fn(x[:, :, h * dim_head:(h + 1) * dim_head],
-                          axis=2, keepdims=True),
-                (Bt, N, dim_head))
-             for h in range(heads)], axis=2)
+    if segmm:
+        m = jnp.max(q, axis=2, keepdims=True)  # row-global shift
+        e = jnp.exp(q - m)
+        denom = jax.lax.dot_general(
+            e, seg.astype(jnp.float32), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        q = e / denom * scale
+    else:
+        def _per_head(x, reduce_fn):
+            return jnp.concatenate(
+                [jnp.broadcast_to(
+                    reduce_fn(x[:, :, h * dim_head:(h + 1) * dim_head],
+                              axis=2, keepdims=True),
+                    (Bt, N, dim_head))
+                 for h in range(heads)], axis=2)
 
-    q = jnp.exp(q - _per_head(q, jnp.max))
-    q = q / _per_head(q, jnp.sum) * scale
+        q = jnp.exp(q - _per_head(q, jnp.max))
+        q = q / _per_head(q, jnp.sum) * scale
     # softmax(k) over N (sublanes) is columnwise: joint == per-head.
     k = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))
     k = k / jnp.sum(k, axis=1, keepdims=True)
@@ -91,18 +104,27 @@ def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale):
     context = jax.lax.dot_general(
         k, v, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (Bt, hidden, hidden)
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
-    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
-    context = context * (d_idx // dim_head == e_idx // dim_head)
-    out = jax.lax.dot_general(
+    context = context * seg
+    return jax.lax.dot_general(
         q, context, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (Bt, N, hidden)
+
+
+def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale,
+                        segmm=False):
+    """One grid step: a (Bt, N, 3*heads*dim_head) tile -> (Bt, N, hidden).
+    Attention body: :func:`_attn_body`."""
+    hidden = heads * dim_head
+    qkv = qkv_ref[...].astype(jnp.float32)
+    out = _attn_body(qkv[:, :, :hidden], qkv[:, :, hidden:2 * hidden],
+                     qkv[:, :, 2 * hidden:], heads=heads,
+                     dim_head=dim_head, scale=scale, segmm=segmm)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
                        w_out_ref, b_out_ref, out_scale_ref, out_bias_ref,
-                       o_ref, *, heads, dim_head, scale, eps):
+                       o_ref, *, heads, dim_head, scale, eps, segmm=False):
     """One grid step of the WHOLE PreNormResidual(LinearAttention) block:
 
         out = x + GN1(to_out(linear_attn(to_qkv(GN1(x)))))
@@ -139,32 +161,9 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
     qkv = jax.lax.dot_general(
         y, w_qkv_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Bt, N, 3*hidden)
-    q = qkv[:, :, :hidden]
-    k = qkv[:, :, hidden:2 * hidden]
-    v = qkv[:, :, 2 * hidden:]
-
-    def _per_head(t, reduce_fn):
-        return jnp.concatenate(
-            [jnp.broadcast_to(
-                reduce_fn(t[:, :, h * dim_head:(h + 1) * dim_head],
-                          axis=2, keepdims=True),
-                (Bt, N, dim_head))
-             for h in range(heads)], axis=2)
-
-    q = jnp.exp(q - _per_head(q, jnp.max))
-    q = q / _per_head(q, jnp.sum) * scale
-    k = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))
-    k = k / jnp.sum(k, axis=1, keepdims=True)
-
-    context = jax.lax.dot_general(
-        k, v, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (Bt, hidden, hidden)
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
-    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
-    context = context * (d_idx // dim_head == e_idx // dim_head)
-    att = jax.lax.dot_general(
-        q, context, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (Bt, N, hidden)
+    att = _attn_body(qkv[:, :, :hidden], qkv[:, :, hidden:2 * hidden],
+                     qkv[:, :, 2 * hidden:], heads=heads,
+                     dim_head=dim_head, scale=scale, segmm=segmm)
 
     o = jax.lax.dot_general(
         att, w_out_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
@@ -176,10 +175,12 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "eps",
-                                             "batch_tile", "interpret"))
+                                             "batch_tile", "interpret",
+                                             "segmm"))
 def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
                           out_scale, out_bias, heads=4, dim_head=32,
-                          eps=1e-5, batch_tile=None, interpret=False):
+                          eps=1e-5, batch_tile=None, interpret=False,
+                          segmm=False):
     """Whole PreNormResidual(LinearAttention) block as ONE pallas_call.
 
     ``x``: (B, N, C) positions-flattened activations; weight operands are
@@ -207,7 +208,7 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
         bt -= 1
     kernel = functools.partial(_attn_block_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5,
-                               eps=eps)
+                               eps=eps, segmm=segmm)
     vec_spec = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     return pl.pallas_call(
         kernel,
@@ -227,9 +228,10 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head",
-                                             "batch_tile", "interpret"))
+                                             "batch_tile", "interpret",
+                                             "segmm"))
 def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
-                           interpret=False):
+                           interpret=False, segmm=False):
     """(B, N, 3*heads*dim_head) channel-contiguous qkv -> (B, N, hidden).
 
     Matches the values of the XLA composition in ``nn.blocks.LinearAttention``
@@ -262,7 +264,8 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
     while B % bt:
         bt -= 1
     kernel = functools.partial(_linear_attn_kernel, heads=heads,
-                               dim_head=dim_head, scale=dim_head ** -0.5)
+                               dim_head=dim_head, scale=dim_head ** -0.5,
+                               segmm=segmm)
     return pl.pallas_call(
         kernel,
         grid=(B // bt,),

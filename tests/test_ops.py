@@ -158,6 +158,42 @@ def test_block_fusion_through_prenorm_residual(dtype, B, HW):
                                rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("segmm", [False, True])
+def test_attn_body_formulations_match(segmm):
+    """The two joint-head body formulations - concat per-head reduces vs
+    the MXU segment-matmul softmax (row-global max shift + block-diagonal
+    ones denominator) - are mathematically identical; both must match the
+    XLA einsum composition (ops/linear_attention.py _attn_body)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_attention_block,
+        fused_linear_attention,
+    )
+
+    heads, d = 4, 32
+    hidden = heads * d
+    B, N, C = 3, 64, 96
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * hidden)) * 3
+    got = fused_linear_attention(qkv, heads, d, interpret=True, segmm=segmm)
+    q, k, v = [p.reshape(B, N, heads, d) for p in jnp.split(qkv, 3, axis=-1)]
+    q = nn.softmax(q, axis=-1) * d ** -0.5
+    k = nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    want = jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-5, atol=2e-5)
+
+    ks = jax.random.split(jax.random.key(1), 8)
+    x = jax.random.normal(ks[0], (B, N, C))
+    args = (x, jnp.ones((C,)), jnp.zeros((C,)),
+            jax.random.normal(ks[3], (C, 3 * hidden)) * 0.05,
+            jax.random.normal(ks[4], (hidden, C)) * 0.05,
+            jnp.zeros((C,)), jnp.ones((C,)), jnp.zeros((C,)))
+    blk = fused_attention_block(*args, interpret=True, segmm=segmm)
+    ref = fused_attention_block(*args, interpret=True, segmm=False)
+    np.testing.assert_allclose(np.array(blk), np.array(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_block_fusion_gate_logic():
     """wants_block_fusion: off below min positions, off without pallas_attn
     or with fused_norms, on at the gated sites (nn/blocks.py:348-353)."""
