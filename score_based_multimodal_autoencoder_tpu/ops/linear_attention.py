@@ -180,7 +180,7 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
 def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
                           out_scale, out_bias, heads=4, dim_head=32,
                           eps=1e-5, batch_tile=None, interpret=False,
-                          segmm=False):
+                          segmm=None):
     """Whole PreNormResidual(LinearAttention) block as ONE pallas_call.
 
     ``x``: (B, N, C) positions-flattened activations; weight operands are
@@ -206,6 +206,12 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
     bt = min(bt, B)
     while B % bt:
         bt -= 1
+    if segmm is None:
+        # v5e sweep (BASELINE.md round 4): segmm wins ~14% at N>=64 but
+        # loses ~19% at N=16 in THIS kernel (the small-N tile runs more
+        # grid steps, and the extra hidden x hidden denominator matmul is
+        # a larger fraction of each), so auto-select by position count.
+        segmm = N >= 32
     kernel = functools.partial(_attn_block_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5,
                                eps=eps, segmm=segmm)
@@ -231,7 +237,7 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
                                              "batch_tile", "interpret",
                                              "segmm"))
 def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
-                           interpret=False, segmm=False):
+                           interpret=False, segmm=None):
     """(B, N, 3*heads*dim_head) channel-contiguous qkv -> (B, N, hidden).
 
     Matches the values of the XLA composition in ``nn.blocks.LinearAttention``
@@ -263,6 +269,8 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
     # tiny-program-overhead regime the module gate exists to avoid.
     while B % bt:
         bt -= 1
+    if segmm is None:
+        segmm = True  # wins at every swept shape in this kernel (BASELINE)
     kernel = functools.partial(_linear_attn_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5,
                                segmm=segmm)

@@ -50,3 +50,75 @@ def test_measure_reports_sps_and_mfu():
     m = w.measure(4, peak=1e12, label="tiny-b4", reps=1, bake_params=True)
     assert m["sps"] > 0 and m["sec"] > 0
     assert np.isfinite(m["mfu"]) and m["mfu"] >= 0
+
+
+def _run_main_with_stub(monkeypatch, capsys, fail_pallas):
+    """Drive bench.main() with a stub Workload: every timing path returns
+    canned numbers instantly; Pallas-attention variants raise when
+    ``fail_pallas``. Proves the sweep's control flow - NOT device perf."""
+    import json
+
+    class StubWorkload:
+        def __init__(self, name, dim, channels, hw, mults, n_steps,
+                     init_dim=None, mxu=False, pallas_attn=False,
+                     approx_gelu=False, mxu_max_positions=256,
+                     block_fusion=True):
+            self.name = name
+            self.pallas = pallas_attn
+            self.block_fusion = block_fusion
+            self.n_steps = n_steps
+
+        def measure(self, batch, peak, label, reps=3, bake_params=False):
+            if self.pallas and fail_pallas:
+                raise RuntimeError("stub Mosaic SIGABRT")
+            sec = 0.5 if self.n_steps == 100 else 15.0
+            return {"sps": batch / sec, "mfu": 0.45, "sec": sec}
+
+        def time_python_loop(self, batch, reps=5, bake_params=True):
+            if self.pallas and fail_pallas:
+                raise RuntimeError("stub Mosaic SIGABRT")
+            return batch / 900.0
+
+        def time_fused(self, batch, reps=3, bake_params=False):
+            if self.pallas and fail_pallas:
+                raise RuntimeError("stub Mosaic SIGABRT")
+            return 0.02
+
+        def time_train_step(self, batch, reps=10):
+            return 0.022
+
+        def time_train_scan(self, batch, k=8, reps=5):
+            return 0.020
+
+    monkeypatch.setattr(bench, "Workload", StubWorkload)
+    monkeypatch.setattr(bench, "wait_for_devices", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "peak_flops", lambda: 1e12)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_main_all_fields_on_success(monkeypatch, capsys):
+    r = _run_main_with_stub(monkeypatch, capsys, fail_pallas=False)
+    assert r["config"] == "tpu128-pallas-b1024"
+    for f in ("value", "mfu", "qkv_attn_sps", "xla_attn_sps", "train_sps",
+              "train_scan_sps", "celebhq_sps", "celebhq_mfu", "vs_baseline",
+              "vs_ref_pattern", "interactive_b16_speedup"):
+        assert f in r, f
+    assert r["vs_baseline_anchor"] == "same-model-per-step-loop-b1024"
+
+
+def test_main_degrades_gracefully_on_pallas_failure(monkeypatch, capsys):
+    """VERDICT r3 next #3's 'done' criterion: a forced kernel failure must
+    still yield every BENCH field - headline falls back to the XLA
+    variant, the celebhq row retries with XLA attention, and the
+    diagnostic sweep (same-model loop, interactive) rides the fallback
+    workload instead of vanishing (round 3 lost four fields)."""
+    r = _run_main_with_stub(monkeypatch, capsys, fail_pallas=True)
+    assert r["value"] > 0
+    assert r["config"] == "tpu128-b1024 (pallas-attn fallback)"
+    assert "qkv_attn_sps" not in r  # that variant genuinely failed
+    for f in ("xla_attn_sps", "train_sps", "train_scan_sps", "celebhq_sps",
+              "vs_baseline", "vs_ref_pattern", "interactive_b16_speedup"):
+        assert f in r, f
+    assert r["celebhq_config"] == "xla-attn fallback"
