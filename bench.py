@@ -135,13 +135,14 @@ class Workload:
     def __init__(self, name, dim, channels, hw, mults, n_steps,
                  init_dim=None, mxu=False, pallas_attn=False,
                  approx_gelu=False, mxu_max_positions=256,
-                 block_fusion=True):
+                 block_fusion=True, pallas_vjp=False):
         self.name, self.hw, self.channels, self.n_steps = name, hw, channels, n_steps
         self.model = LatentUNet(dim=dim, channels=channels, dim_mults=mults,
                                 init_dim=init_dim, mxu_depthwise=mxu,
                                 mxu_max_positions=mxu_max_positions,
-                                pallas_linear_attn=pallas_attn,
+                                pallas_linear_attn=pallas_attn or pallas_vjp,
                                 pallas_block_fusion=block_fusion,
+                                pallas_attn_vjp=pallas_vjp,
                                 approx_gelu=approx_gelu,
                                 dtype=jnp.bfloat16)
         x0 = jnp.zeros((2, hw, hw, channels), jnp.float32)
@@ -496,6 +497,24 @@ def main():
                    if tsec else ""))
         except Exception as e:
             log(f"train-scan variant FAILED: {e}")
+
+    # 2d. Train step with the DIFFERENTIABLE Pallas attention (custom VJP,
+    #     ops/linear_attention.py fused_linear_attention_vjp): the same
+    #     DSM step as 2b with the (B, N, heads, d) relayout copies around
+    #     the attention einsums eliminated in forward AND backward (they
+    #     cost 22.8% of 2b's device time in the round-4 trace).
+    if left() > 300:
+        try:
+            poly_tv = Workload("poly-train-vjp", 128, 10, 8, (1, 2, 2, 2),
+                               100, init_dim=128, mxu=True,
+                               approx_gelu=True, pallas_vjp=True)
+            tvsec = poly_tv.time_train_step(1024)
+            result["train_pallas_sps"] = round(1024 / tvsec, 2)
+            log(f"train-step-pallas-vjp (tpu128-b1024): {tvsec*1e3:.1f} "
+                f"ms/step -> {1024/tvsec:.0f} samples/s"
+                + (f" ({tsec/tvsec:.2f}x vs XLA attention)" if tsec else ""))
+        except Exception as e:
+            log(f"train-step-pallas-vjp variant FAILED: {e}")
 
     # 3. CelebA-HQ flagship: 16x16 grid, dim=256, mults (1,2,2,2,2), N=1000
     #    (the reference's costliest loop). TPU preset model

@@ -343,13 +343,20 @@ class LinearAttention(nn.Module):
     pallas_attn: bool = False
     pallas_min_positions: int = 16
     pallas_block: bool = True
+    # Differentiable Pallas attention (ops/linear_attention.py
+    # fused_linear_attention_vjp: hand-derived custom VJP, backward is a
+    # second fused kernel). The TRAINING-side knob: a round-4 xplane trace
+    # showed attention-shaped ops at 22.8% of DSM train-step device time
+    # (mostly relayout copies). Excludes whole-block fusion (that kernel
+    # is forward-only).
+    pallas_vjp: bool = False
 
     @nn.nowrap
     def wants_block_fusion(self, x_shape) -> bool:
         """Static (config + shape) gate for whole-block kernel fusion."""
         B, H, W, C = x_shape
         return (self.pallas_attn and self.pallas_block
-                and not self.fused_norms
+                and not self.fused_norms and not self.pallas_vjp
                 and H * W >= self.pallas_min_positions)
 
     @nn.compact
@@ -386,12 +393,20 @@ class LinearAttention(nn.Module):
         # samples/s interleaved same-run, BASELINE.md), so the default
         # threshold is 16.
         if self.pallas_attn and H * W >= self.pallas_min_positions:
-            from ..ops.linear_attention import fused_linear_attention
+            from ..ops.linear_attention import (
+                fused_linear_attention,
+                fused_linear_attention_vjp,
+            )
 
             interpret = jax.default_backend() != "tpu"
-            out = fused_linear_attention(
-                qkv.reshape(B, H * W, 3 * hidden), self.heads,
-                self.dim_head, interpret=interpret)
+            if self.pallas_vjp:
+                out = fused_linear_attention_vjp(
+                    qkv.reshape(B, H * W, 3 * hidden), self.heads,
+                    self.dim_head, None, interpret)
+            else:
+                out = fused_linear_attention(
+                    qkv.reshape(B, H * W, 3 * hidden), self.heads,
+                    self.dim_head, interpret=interpret)
         else:
             # Channel-contiguous split (see Attention) - identical values,
             # layout-friendlier than reshape(B,N,3,h,d) + index.

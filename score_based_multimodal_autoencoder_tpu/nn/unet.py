@@ -103,6 +103,10 @@ class LatentUNet(nn.Module):
     # kernel at the gated sites (nn/blocks.py, ops/linear_attention.py
     # fused_attention_block). Only active with pallas_linear_attn.
     pallas_block_fusion: bool = True
+    # Differentiable Pallas attention (custom VJP; backward is a second
+    # fused kernel) - makes pallas_linear_attn usable in TRAINING.
+    # Disables whole-block fusion at the gated sites (forward-only kernel).
+    pallas_attn_vjp: bool = False
     # tanh-approximated GELU instead of exact erf: ~1.3x faster sampling on
     # TPU (see nn/blocks.py ConvNeXtBlock). Default False = torch parity.
     approx_gelu: bool = False
@@ -151,7 +155,8 @@ class LatentUNet(nn.Module):
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
                                 pallas_attn=self.pallas_linear_attn,
                                 pallas_min_positions=self.pallas_min_positions,
-                                pallas_block=self.pallas_block_fusion),
+                                pallas_block=self.pallas_block_fusion,
+                                pallas_vjp=self.pallas_attn_vjp),
                 fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
@@ -189,7 +194,8 @@ class LatentUNet(nn.Module):
                 LinearAttention(dtype=self.dtype, fused_norms=self.fused_norms,
                                 pallas_attn=self.pallas_linear_attn,
                                 pallas_min_positions=self.pallas_min_positions,
-                                pallas_block=self.pallas_block_fusion),
+                                pallas_block=self.pallas_block_fusion,
+                                pallas_vjp=self.pallas_attn_vjp),
                 fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)

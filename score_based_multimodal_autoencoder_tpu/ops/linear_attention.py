@@ -11,10 +11,13 @@ pass per batch tile, with NO intermediate HBM round trips or relayouts;
 all heads are processed jointly at full lane width (see
 ``_linear_attn_kernel``).
 
-Forward-only by design: the samplers (the hot path) never differentiate
-through attention. Training keeps the plain-XLA composition, so the flag
-lives next to ``mxu_depthwise`` as a sampling-time knob
-(``LatentUNet(pallas_linear_attn=True)``).
+The plain kernels are forward-only (the samplers never differentiate
+through attention); :func:`fused_linear_attention_vjp` adds a hand-derived
+custom VJP whose backward pass is a second fused kernel that RECOMPUTES
+the softmaxes from the saved qkv (no stored residuals, no relayouts) -
+a round-4 train-step xplane trace showed attention-shaped ops costing
+22.8% of DSM train-step device time, almost all (B, N, heads, d) layout
+copies around the XLA einsum forward+backward (BASELINE.md round 4).
 
 Shapes (shipped configs): N = H*W <= 256 positions, heads = 4, d = 32,
 so a (N, 3*heads*d) = (256, 384) tile is ~400 KB in VMEM at f32.
@@ -282,3 +285,126 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
         out_shape=jax.ShapeDtypeStruct((B, N, hidden), qkv.dtype),
         interpret=interpret,
     )(qkv)
+
+
+def _linear_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads, dim_head,
+                            scale):
+    """Backward of the joint-head linear-attention body, one batch tile.
+
+    Recomputes the two softmaxes from the raw qkv tile (cheaper than
+    storing them: the forward saves NOTHING but its input), then runs the
+    hand-derived VJP as four full-width MXU contractions plus the two
+    softmax backprops - per-head segment sums ride the block-diagonal
+    ones matmul exactly like the forward's segmm body. With
+    s = softmax_d(q^), ks = softmax_N(k^), ctx = ks^T v (head-block
+    masked), out = (s*scale) ctx:
+
+        d(s*scale) = g ctx^T          dctx = (s*scale)^T g  (masked)
+        dks        = v dctx^T         dv   = ks dctx
+        dq^ = s * (scale*d(s*scale) - rowsum_head(scale*d(s*scale) * s))
+        dk^ = ks * (dks - colsum_N(dks * ks))
+    """
+    hidden = heads * dim_head
+    qkv = qkv_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    qh = qkv[:, :, :hidden]
+    kh = qkv[:, :, hidden:2 * hidden]
+    v = qkv[:, :, 2 * hidden:]
+
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    seg = d_idx // dim_head == e_idx // dim_head
+    segf = seg.astype(jnp.float32)
+
+    def _seg_bcast(t):  # per-head rowsum, broadcast back across the head
+        return jax.lax.dot_general(t, segf, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # recompute softmax(q) over each head's lanes (segmm formulation)
+    mq = jnp.max(qh, axis=2, keepdims=True)
+    eq = jnp.exp(qh - mq)
+    s = eq / _seg_bcast(eq)                      # softmax, pre-scale
+    # recompute softmax(k) over N
+    mk = jnp.max(kh, axis=1, keepdims=True)
+    ek = jnp.exp(kh - mk)
+    ks = ek / jnp.sum(ek, axis=1, keepdims=True)
+
+    ctx = jax.lax.dot_general(
+        ks, v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * segf   # (Bt, d, e)
+
+    # dL/d(s*scale) and dL/dctx
+    dqs = jax.lax.dot_general(
+        g, ctx, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (Bt, N, d)
+    dctx = jax.lax.dot_general(
+        s * scale, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * segf   # (Bt, d, e)
+    dks = jax.lax.dot_general(
+        v, dctx, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (Bt, N, d)
+    dv = jax.lax.dot_general(
+        ks, dctx, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (Bt, N, e)
+
+    gs = dqs * scale                                 # dL/ds
+    dqh = s * (gs - _seg_bcast(gs * s))
+    dkh = ks * (dks - jnp.sum(dks * ks, axis=1, keepdims=True))
+    dqkv_ref[...] = jnp.concatenate([dqh, dkh, dv],
+                                    axis=2).astype(dqkv_ref.dtype)
+
+
+def _attn_tile(B, N, hidden, batch_tile):
+    """Shared batch-tile rule (see fused_linear_attention's docstring)."""
+    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
+    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
+    bt = min(bt, B)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _fused_linear_attention_bwd_call(qkv, g, heads, dim_head, batch_tile,
+                                     interpret):
+    B, N, C = qkv.shape
+    hidden = heads * dim_head
+    bt = _attn_tile(B, N, hidden, batch_tile)
+    kernel = functools.partial(_linear_attn_bwd_kernel, heads=heads,
+                               dim_head=dim_head, scale=dim_head ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[pl.BlockSpec((bt, N, C), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((bt, N, hidden), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bt, N, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_linear_attention_vjp(qkv, heads=4, dim_head=32, batch_tile=None,
+                               interpret=False):
+    """Differentiable fused linear attention (forward = the segmm kernel,
+    backward = :func:`_linear_attn_bwd_kernel`). The residual saved
+    between passes is just the INPUT qkv - the backward recomputes the
+    softmaxes in-kernel, so the trainers' memory profile matches the XLA
+    composition while eliminating its (B, N, heads, d) relayout copies
+    (22.8% of DSM train-step device time, round-4 trace)."""
+    return fused_linear_attention(qkv, heads, dim_head,
+                                  batch_tile=batch_tile,
+                                  interpret=interpret)
+
+
+def _flav_fwd(qkv, heads, dim_head, batch_tile, interpret):
+    out = fused_linear_attention(qkv, heads, dim_head,
+                                 batch_tile=batch_tile, interpret=interpret)
+    return out, qkv
+
+
+def _flav_bwd(heads, dim_head, batch_tile, interpret, qkv, g):
+    return (_fused_linear_attention_bwd_call(
+        qkv, g, heads, dim_head, batch_tile, interpret),)
+
+
+fused_linear_attention_vjp.defvjp(_flav_fwd, _flav_bwd)

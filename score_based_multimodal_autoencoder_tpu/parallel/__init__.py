@@ -1,6 +1,7 @@
 from .mesh import (
     data_parallel_jit,
     dp_shardings,
+    demote_pallas_for_mesh,
     make_mesh,
     mesh_from_flag,
     put_batch,

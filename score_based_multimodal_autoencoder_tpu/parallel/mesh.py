@@ -125,3 +125,34 @@ def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
         in_shardings=(rep, dat, rep),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def demote_pallas_for_mesh(model, mesh, where: str = "training"):
+    """Swap Pallas attention for the XLA path under a REAL multi-device mesh.
+
+    XLA's SPMD partitioner cannot partition a ``pallas_call`` custom-call:
+    under a >1-device mesh on the native TPU backend it would all-gather
+    the sharded batch around every attention site, silently defeating data
+    parallelism. The XLA composition is mathematically identical and
+    partitions cleanly, so trainers/pipelines demote to it and warn.
+    Interpret-mode pallas (CPU meshes, tests) lowers to ordinary
+    partitionable jax ops, so it is left alone - as is any model without
+    the ``pallas_linear_attn`` knob.
+    """
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return model
+    if jax.default_backend() != "tpu":  # interpret mode partitions fine
+        return model
+    if not getattr(model, "pallas_linear_attn", False):
+        return model
+    import warnings
+
+    warnings.warn(
+        f"Pallas attention is enabled but {where} runs on a "
+        f"{mesh.size}-device mesh; XLA cannot partition the custom-call, "
+        "so the model is rebuilt with the (identical-math) XLA attention "
+        "path for clean SPMD sharding.")
+    updates = {"pallas_linear_attn": False}
+    if hasattr(model, "pallas_attn_vjp"):
+        updates["pallas_attn_vjp"] = False
+    return model.clone(**updates)

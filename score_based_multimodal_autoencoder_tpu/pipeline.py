@@ -93,6 +93,13 @@ class SBMAEPipeline:
 
     def __post_init__(self):
         self._jit_cache: Dict[Tuple, Any] = {}
+        from .parallel.mesh import demote_pallas_for_mesh
+
+        # A >1-device mesh cannot SPMD-partition the Pallas custom-calls
+        # (it would all-gather the batch around every attention site);
+        # demote to the identical-math XLA path (parallel/mesh.py).
+        self.score_model = demote_pallas_for_mesh(
+            self.score_model, self.mesh, "mesh-sharded sampling")
 
     def _jit(self, fn, batch_arg_idx=(), batch_size=None):
         """jit with optional data-parallel shardings over the mesh.

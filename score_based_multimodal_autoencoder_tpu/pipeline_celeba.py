@@ -57,6 +57,12 @@ class HeterogeneousPipeline:
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
+        from .parallel.mesh import demote_pallas_for_mesh
+
+        # See SBMAEPipeline.__post_init__: Pallas custom-calls don't SPMD-
+        # partition; demote to the XLA path under a >1-device mesh.
+        self.score_model = demote_pallas_for_mesh(
+            self.score_model, self.mesh, "mesh-sharded sampling")
 
     @property
     def n_mod(self):

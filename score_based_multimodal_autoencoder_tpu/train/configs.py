@@ -110,6 +110,12 @@ class ScoreConfig:
     # off-switch for kernel/runtime regressions; only active with
     # pallas_linear_attn in the sampling flavor.
     pallas_block_fusion: bool = True
+    # Differentiable Pallas attention in the TRAIN flavor (custom VJP,
+    # ops/linear_attention.py fused_linear_attention_vjp): eliminates the
+    # (B, N, heads, d) relayout copies around the XLA attention einsums in
+    # forward AND backward (22.8% of DSM train-step device time in the
+    # round-4 trace). Requires pallas_linear_attn.
+    pallas_train_attn: bool = False
 
     @classmethod
     def polymnist(cls, **kw):
@@ -133,7 +139,14 @@ class ScoreConfig:
         defaults = dict(preset="polymnist", dim=128, channels=10,
                         dim_mults=(1, 2, 2, 2), latent_hw=8, sample_n=100,
                         init_dim=128, mxu_depthwise=True, approx_gelu=True,
-                        pallas_linear_attn=True)
+                        pallas_linear_attn=True,
+                        # Differentiable Pallas attention in the TRAIN
+                        # flavor: 51.5k -> 60-61k samples/s DSM scan-step
+                        # throughput (+17%, interleaved A/B, BASELINE.md
+                        # round 4). celebhq_tpu leaves it off (measured a
+                        # wash at dim=256 - attention is a tiny fraction
+                        # there).
+                        pallas_train_attn=True)
         defaults.update(kw)
         return cls(**defaults)
 
@@ -178,8 +191,11 @@ class ScoreConfig:
                           mxu_depthwise=self.mxu_depthwise,
                           mxu_max_positions=self.mxu_max_positions,
                           approx_gelu=self.approx_gelu,
-                          pallas_linear_attn=self.pallas_linear_attn and sample,
+                          pallas_linear_attn=self.pallas_linear_attn and (
+                              sample or self.pallas_train_attn),
                           pallas_block_fusion=self.pallas_block_fusion,
+                          pallas_attn_vjp=(self.pallas_train_attn
+                                           and not sample),
                           dtype=dtype or jnp.float32)
 
     def build_sde(self, sample: bool = False):

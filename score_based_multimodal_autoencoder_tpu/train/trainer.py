@@ -462,6 +462,9 @@ def train_score_model(
       /root/reference/train_lat_celebhq_unet_cont2.py:559-561), run every
       ``eval_every`` epochs and logged through MetricsLogger.
     """
+    from ..parallel.mesh import demote_pallas_for_mesh
+
+    score_model = demote_pallas_for_mesh(score_model, mesh, "score training")
     key = jax.random.key(seed + 100)
     val_key = jax.random.key(seed + 7919)  # fixed: comparable epoch-to-epoch
     rep, batch_sh = _dp_shardings(mesh, modality_major=True)

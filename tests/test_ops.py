@@ -194,6 +194,95 @@ def test_attn_body_formulations_match(segmm):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_vjp_grads_match_xla_composition():
+    """fused_linear_attention_vjp's hand-derived backward kernel ==
+    autodiff of the XLA einsum composition (the training-side kernel,
+    VERDICT r3 next #9; ops/linear_attention.py _linear_attn_bwd_kernel)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_linear_attention_vjp,
+    )
+
+    heads, d = 4, 32
+    hidden = heads * d
+    B, N = 3, 64
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * hidden)) * 2
+    cot = jax.random.normal(jax.random.key(1), (B, N, hidden))
+
+    def xla_ref(qkv):
+        q, k, v = [p.reshape(B, N, heads, d)
+                   for p in jnp.split(qkv, 3, axis=-1)]
+        q = nn.softmax(q, axis=-1) * d ** -0.5
+        k = nn.softmax(k, axis=1)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        return jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+
+    def ours(qkv):
+        return fused_linear_attention_vjp(qkv, heads, d, None, True)
+
+    np.testing.assert_allclose(np.array(ours(qkv)), np.array(xla_ref(qkv)),
+                               rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(lambda x: jnp.vdot(xla_ref(x), cot))(qkv)
+    g_ours = jax.grad(lambda x: jnp.vdot(ours(x), cot))(qkv)
+    np.testing.assert_allclose(np.array(g_ours), np.array(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_module_pallas_vjp_train_grads_match():
+    """LinearAttention(pallas_attn=True, pallas_vjp=True) is differentiable
+    and its param/input grads match the XLA path with shared params; the
+    whole-block (forward-only) fusion must disable itself under vjp."""
+    from score_based_multimodal_autoencoder_tpu.nn.blocks import (
+        LinearAttention,
+        PreNormResidual,
+    )
+
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 32))
+    ref_mod = PreNormResidual(LinearAttention(heads=2, dim_head=8))
+    vjp_mod = PreNormResidual(
+        LinearAttention(heads=2, dim_head=8, pallas_attn=True,
+                        pallas_vjp=True))
+    assert not vjp_mod.fn.wants_block_fusion(x.shape)
+    params = ref_mod.init(jax.random.key(2), x)
+
+    def loss(mod, p, x):
+        return jnp.sum(jnp.square(mod.apply(p, x)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda p: loss(ref_mod, p, x))(params)
+    l_vjp, g_vjp = jax.value_and_grad(
+        lambda p: loss(vjp_mod, p, x))(params)
+    np.testing.assert_allclose(float(l_vjp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_vjp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=2e-4, atol=2e-4)
+    gx_ref = jax.grad(lambda x: loss(ref_mod, params, x))(x)
+    gx_vjp = jax.grad(lambda x: loss(vjp_mod, params, x))(x)
+    np.testing.assert_allclose(np.array(gx_vjp), np.array(gx_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_score_config_pallas_train_attn():
+    """ScoreConfig.pallas_train_attn: train flavor gets the differentiable
+    kernel, sample flavor keeps the forward-only paths."""
+    from score_based_multimodal_autoencoder_tpu.train.configs import (
+        ScoreConfig,
+    )
+
+    cfg = ScoreConfig.polymnist_tpu()  # preset default: train attn ON
+    train_model = cfg.build_model(sample=False)
+    assert train_model.pallas_linear_attn and train_model.pallas_attn_vjp
+    sample_model = cfg.build_model(sample=True)
+    assert sample_model.pallas_linear_attn and not sample_model.pallas_attn_vjp
+    # opt-out restores the XLA training path; celebhq_tpu default is off
+    # (measured a wash at dim=256, BASELINE.md round 4)
+    off = ScoreConfig.polymnist_tpu(
+        pallas_train_attn=False).build_model(sample=False)
+    assert not off.pallas_linear_attn
+    cel_train = ScoreConfig.celebhq_tpu().build_model(sample=False)
+    assert not cel_train.pallas_linear_attn
+
+
 def test_block_fusion_gate_logic():
     """wants_block_fusion: off below min positions, off without pallas_attn
     or with fused_norms, on at the gated sites (nn/blocks.py:348-353)."""

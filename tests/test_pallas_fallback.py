@@ -60,6 +60,38 @@ def test_pipeline_falls_back_to_xla_on_pallas_failure(tiny_parts, monkeypatch):
     assert out2.shape == (2, 4, 32, 32, 3)
 
 
+def test_demote_pallas_for_mesh_logic(monkeypatch):
+    """XLA SPMD cannot partition a pallas_call: under a >1-device mesh on
+    the native TPU backend, trainers/pipelines must rebuild with the XLA
+    attention path; CPU meshes (interpret mode) and 1-device meshes are
+    left alone (parallel/mesh.py demote_pallas_for_mesh)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from score_based_multimodal_autoencoder_tpu.parallel import (
+        demote_pallas_for_mesh,
+    )
+    from score_based_multimodal_autoencoder_tpu.parallel import mesh as M
+
+    model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2),
+                       pallas_linear_attn=True, pallas_attn_vjp=True)
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("data",))
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    # CPU backend (this test env): interpret mode partitions fine -> no-op.
+    assert demote_pallas_for_mesh(model, mesh8) is model
+    # Native TPU backend (faked): demoted under >1 device, kept under 1.
+    monkeypatch.setattr(M.jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="cannot partition"):
+        demoted = demote_pallas_for_mesh(model, mesh8)
+    assert not demoted.pallas_linear_attn and not demoted.pallas_attn_vjp
+    assert demote_pallas_for_mesh(model, mesh1) is model
+    assert demote_pallas_for_mesh(model, None) is model
+    # Models without the knob pass through.
+    plain = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
+    assert demote_pallas_for_mesh(plain, mesh8) is plain
+
+
 def test_non_pallas_errors_propagate(tiny_parts):
     fleet, fleet_state, model, params, hw = tiny_parts
     pipe = SBMAEPipeline(
