@@ -452,8 +452,9 @@ def main():
         log(f"reference-pattern anchor FAILED: {e}")
 
     # 2b. Training-step throughput (jitted DSM grad+update, b1024) on the
-    #     TRAIN flavor of the preset: no Pallas attention (forward-only
-    #     kernel, no VJP) - exactly the model the trainers build.
+    #     TRAIN flavor with XLA attention - the baseline against the
+    #     differentiable Pallas variant in 2d (the polymnist_tpu train
+    #     preset now defaults to 2d's path).
     poly_train, tsec = None, None
     if left() > 300:
         try:

@@ -328,7 +328,8 @@ class LinearAttention(nn.Module):
     ``pallas_attn`` routes the attention body (both softmaxes + both
     contractions) through the fused Pallas kernel
     (ops/linear_attention.py) - identical values, no relayout copies;
-    forward-only, so it is a sampling-time knob. With ``pallas_block``
+    forward-only unless ``pallas_vjp`` - by itself a sampling-time knob.
+    With ``pallas_block``
     also True (the default), ``PreNormResidual`` upgrades the gated sites
     to the WHOLE-block kernel (pre-GN + to_qkv + attention + to_out +
     out_norm + residual in one VMEM pass, ops/linear_attention.py

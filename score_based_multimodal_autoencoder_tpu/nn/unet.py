@@ -92,7 +92,8 @@ class LatentUNet(nn.Module):
     # use the conv emitter). 64 = hybrid: conv at 16x16, MXU at <=8x8.
     mxu_max_positions: int = 256
     # Route linear attention through the fused Pallas kernel
-    # (ops/linear_attention.py). Forward-only: sampling-time knob.
+    # (ops/linear_attention.py). Alone it is forward-only (sampling-time
+    # knob); pair with pallas_attn_vjp for the differentiable variant.
     pallas_linear_attn: bool = False
     # Smallest H*W the Pallas attention kernel is admitted at (the N <= 4
     # sites are always better off in XLA; N = 16 measured an in-model win -

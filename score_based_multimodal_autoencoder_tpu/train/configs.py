@@ -101,8 +101,9 @@ class ScoreConfig:
     # tanh-approx GELU (vs torch-exact erf): ~1.3x faster sampling on TPU.
     approx_gelu: bool = False
     # Fused Pallas linear attention (ops/linear_attention.py) on the >=16
-    # position levels. Forward-only (no VJP): applied ONLY when
-    # build_model(sample=True) - trainers keep the differentiable XLA path.
+    # position levels. Applied when build_model(sample=True); trainers get
+    # it only with pallas_train_attn (the differentiable custom-VJP
+    # variant) - otherwise they keep the XLA path.
     pallas_linear_attn: bool = False
     # Whole-block fusion at the gated sites (PreNormResidual + both 1x1
     # matmuls + both GN1s + residual in ONE pallas_call,
@@ -178,8 +179,9 @@ class ScoreConfig:
 
     def build_model(self, dtype=None, sample: bool = False):
         """``sample=True`` builds the SAMPLING flavor: identical params and
-        math, plus forward-only perf paths (the fused Pallas linear
-        attention has no VJP, so trainers must build with the default)."""
+        math, plus sampling-only perf paths (whole-block fusion is
+        forward-only; trainers use the Pallas attention only via the
+        differentiable pallas_train_attn variant)."""
         import jax.numpy as jnp
 
         from ..nn.unet import LatentUNet

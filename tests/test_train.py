@@ -256,3 +256,20 @@ def test_score_trainer_dp_plus_steps_per_dispatch_equivalent():
     dp_fused = run(mesh=make_mesh(), steps_per_dispatch=2)
     np.testing.assert_allclose(ref["history"], dp_fused["history"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_auto_steps_per_dispatch_resolution(monkeypatch):
+    """--steps-per-dispatch auto default (VERDICT r3 next #7): explicit
+    values pass through; None resolves to 1 on CPU (tests/debug keep
+    step-level granularity) and to the fused k=8 scan on TPU-class
+    backends (train/trainer.py auto_steps_per_dispatch)."""
+    import jax
+
+    from score_based_multimodal_autoencoder_tpu.train import trainer
+
+    assert trainer.auto_steps_per_dispatch(3) == 3
+    assert trainer.auto_steps_per_dispatch(None) == 1  # cpu backend here
+    monkeypatch.setattr(trainer.jax, "default_backend", lambda: "tpu")
+    assert trainer.auto_steps_per_dispatch(None) == 8
+    assert trainer.auto_steps_per_dispatch(None, k=4) == 4
+    assert trainer.auto_steps_per_dispatch(1) == 1
