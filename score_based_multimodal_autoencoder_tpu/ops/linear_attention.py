@@ -48,7 +48,8 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False):
+def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False,
+               mm_dtype=None):
     """Joint-head linear-attention body on f32 (Bt, N, hidden) tensors.
 
     All heads are processed JOINTLY in the channel-contiguous layout:
@@ -104,12 +105,16 @@ def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False):
     # context[d, e] = sum_n k[n, d] v[n, e], valid only within a head's
     # diagonal (d, e) block; the block-diagonal mask zeroes the cross-head
     # blocks so the output contraction sums exact zeros for them.
+    # ``mm_dtype=bf16``: contraction OPERANDS in bf16 (f32 accumulate) -
+    # full-rate MXU, and the same downcast the XLA bf16 composition
+    # applies to the softmaxed q/k before its einsums.
+    md = mm_dtype or jnp.float32
     context = jax.lax.dot_general(
-        k, v, (((1,), (1,)), ((0,), (0,))),
+        k.astype(md), v.astype(md), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (Bt, hidden, hidden)
     context = context * seg
     return jax.lax.dot_general(
-        q, context, (((2,), (1,)), ((0,), (0,))),
+        q.astype(md), context.astype(md), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (Bt, N, hidden)
 
 
@@ -127,7 +132,8 @@ def _linear_attn_kernel(qkv_ref, o_ref, *, heads, dim_head, scale,
 
 def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
                        w_out_ref, b_out_ref, out_scale_ref, out_bias_ref,
-                       o_ref, *, heads, dim_head, scale, eps, segmm=False):
+                       o_ref, *, heads, dim_head, scale, eps, segmm=False,
+                       lowp=False):
     """One grid step of the WHOLE PreNormResidual(LinearAttention) block:
 
         out = x + GN1(to_out(linear_attn(to_qkv(GN1(x)))))
@@ -159,17 +165,22 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
         var = _mean11(jnp.square(h)) - mu * mu
         return (h - mu) * jax.lax.rsqrt(var + eps) * s + b
 
+    # ``lowp``: run the four matmuls with bf16 OPERANDS (f32 accumulate) -
+    # full-rate MXU; GN statistics, softmaxes and the residual stay f32.
+    md = jnp.bfloat16 if lowp else jnp.float32
     y = _gn1(x, pre_scale_ref[...].astype(jnp.float32),
              pre_bias_ref[...].astype(jnp.float32))
     qkv = jax.lax.dot_general(
-        y, w_qkv_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        y.astype(md), w_qkv_ref[...].astype(md), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Bt, N, 3*hidden)
     att = _attn_body(qkv[:, :, :hidden], qkv[:, :, hidden:2 * hidden],
                      qkv[:, :, 2 * hidden:], heads=heads,
-                     dim_head=dim_head, scale=scale, segmm=segmm)
+                     dim_head=dim_head, scale=scale, segmm=segmm,
+                     mm_dtype=md if lowp else None)
 
     o = jax.lax.dot_general(
-        att, w_out_ref[...].astype(jnp.float32), (((2,), (0,)), ((), ())),
+        att.astype(md), w_out_ref[...].astype(md),
+        (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_out_ref[...].astype(
             jnp.float32)  # (Bt, N, C)
     o = _gn1(o, out_scale_ref[...].astype(jnp.float32),
@@ -179,11 +190,11 @@ def _attn_block_kernel(x_ref, pre_scale_ref, pre_bias_ref, w_qkv_ref,
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "eps",
                                              "batch_tile", "interpret",
-                                             "segmm"))
+                                             "segmm", "lowp"))
 def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
                           out_scale, out_bias, heads=4, dim_head=32,
                           eps=1e-5, batch_tile=None, interpret=False,
-                          segmm=None):
+                          segmm=None, lowp=False):
     """Whole PreNormResidual(LinearAttention) block as ONE pallas_call.
 
     ``x``: (B, N, C) positions-flattened activations; weight operands are
@@ -217,7 +228,7 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
         segmm = N >= 32
     kernel = functools.partial(_attn_block_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5,
-                               eps=eps, segmm=segmm)
+                               eps=eps, segmm=segmm, lowp=lowp)
     vec_spec = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     return pl.pallas_call(
         kernel,

@@ -283,6 +283,30 @@ def test_score_config_pallas_train_attn():
     assert not cel_train.pallas_linear_attn
 
 
+def test_block_kernel_lowp_matches_to_bf16_rounding():
+    """lowp=True runs the whole-block kernel's four matmuls with bf16
+    operands (f32 accumulate): outputs differ from the f32 default only by
+    bf16 rounding (measured wash on TPU - BASELINE.md round-4 negative
+    results - but kept as a knob)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_attention_block,
+    )
+
+    heads, d = 4, 32
+    hidden = heads * d
+    B, N, C = 4, 64, 128
+    ks = jax.random.split(jax.random.key(1), 8)
+    x = jax.random.normal(ks[0], (B, N, C))
+    args = (x, jnp.ones((C,)), jnp.zeros((C,)),
+            jax.random.normal(ks[3], (C, 3 * hidden)) * 0.05,
+            jax.random.normal(ks[4], (hidden, C)) * 0.05,
+            jnp.zeros((C,)), jnp.ones((C,)), jnp.zeros((C,)))
+    ref = fused_attention_block(*args, interpret=True)
+    low = fused_attention_block(*args, interpret=True, lowp=True)
+    assert float(jnp.abs(ref - low).max()) < 0.05  # bf16-rounding level
+    assert float(jnp.abs(ref - low).max()) > 0.0  # actually took the path
+
+
 def test_block_fusion_gate_logic():
     """wants_block_fusion: off below min positions, off without pallas_attn
     or with fused_norms, on at the gated sites (nn/blocks.py:348-353)."""
