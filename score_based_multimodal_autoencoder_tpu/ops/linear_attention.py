@@ -68,34 +68,38 @@ def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False,
 
     - ``segmm=False``: per-head max/sum reduces broadcast back via
       concatenate (the proven round-3 body).
-    - ``segmm=True``: a ROW-GLOBAL max shift (softmax is invariant to any
-      constant shift that is uniform across a head's lanes - the row max
-      is uniform across ALL lanes) followed by one exp, with the per-head
-      denominators computed AND broadcast in a single dot_general against
-      the block-diagonal ones matrix - the per-head segment work rides
-      the MXU instead of VPU concat/broadcast shuffles.
+    - ``segmm=True``: a PER-HEAD max shift (concat/broadcast - cheap next
+      to the exp) followed by one exp, with the per-head denominators
+      computed AND broadcast in a single dot_general against the
+      block-diagonal ones matrix - the segment-SUM work (the expensive
+      reduce+broadcast pair) rides the MXU instead of VPU
+      concat/broadcast shuffles. An earlier row-GLOBAL max shift was
+      mathematically equivalent but numerically unsafe: a head whose
+      logits all sit ~90+ below the row max has every exp() underflow to
+      0 in f32, zeroing the denominator and NaN-ing the whole head
+      (ADVICE r4); the per-head shift pins each head's max lane at
+      exp(0) = 1 so the denominator is always >= 1.
     """
     Bt, N, hidden = q.shape
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
     e_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
     seg = d_idx // dim_head == e_idx // dim_head
 
+    def _per_head(x, reduce_fn):
+        return jnp.concatenate(
+            [jnp.broadcast_to(
+                reduce_fn(x[:, :, h * dim_head:(h + 1) * dim_head],
+                          axis=2, keepdims=True),
+                (Bt, N, dim_head))
+             for h in range(heads)], axis=2)
+
     if segmm:
-        m = jnp.max(q, axis=2, keepdims=True)  # row-global shift
-        e = jnp.exp(q - m)
+        e = jnp.exp(q - _per_head(q, jnp.max))
         denom = jax.lax.dot_general(
             e, seg.astype(jnp.float32), (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         q = e / denom * scale
     else:
-        def _per_head(x, reduce_fn):
-            return jnp.concatenate(
-                [jnp.broadcast_to(
-                    reduce_fn(x[:, :, h * dim_head:(h + 1) * dim_head],
-                              axis=2, keepdims=True),
-                    (Bt, N, dim_head))
-                 for h in range(heads)], axis=2)
-
         q = jnp.exp(q - _per_head(q, jnp.max))
         q = q / _per_head(q, jnp.sum) * scale
     # softmax(k) over N (sublanes) is columnwise: joint == per-head.
@@ -215,11 +219,7 @@ def fused_attention_block(x, pre_scale, pre_bias, w_qkv, w_out, b_out,
     hidden = heads * dim_head
     assert w_qkv.shape == (C, 3 * hidden), (w_qkv.shape, C, hidden)
     assert w_out.shape == (hidden, C), (w_out.shape, hidden, C)
-    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
-    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
-    bt = min(bt, B)
-    while B % bt:
-        bt -= 1
+    bt = _attn_tile(B, N, hidden, batch_tile)
     if segmm is None:
         # v5e sweep (BASELINE.md round 4): segmm wins ~14% at N>=64 but
         # loses ~19% at N=16 in THIS kernel (the small-N tile runs more
@@ -272,17 +272,7 @@ def fused_linear_attention(qkv, heads=4, dim_head=32, batch_tile=None,
     B, N, C = qkv.shape
     hidden = heads * dim_head
     assert C == 3 * hidden, (C, hidden)
-    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
-    # The joint-head kernel materializes a (bt, hidden, hidden) f32 context
-    # per tile; cap bt so it stays ~4 MB of the ~16 MB scoped VMEM.
-    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
-    bt = min(bt, B)
-    # Largest divisor of B <= the target: repeated halving degenerates to
-    # near-1 tiles when B shares few factors with the ~2048-row target
-    # (e.g. B=1024, N=100 -> target 20 would halve to 2), re-entering the
-    # tiny-program-overhead regime the module gate exists to avoid.
-    while B % bt:
-        bt -= 1
+    bt = _attn_tile(B, N, hidden, batch_tile)
     if segmm is None:
         segmm = True  # wins at every swept shape in this kernel (BASELINE)
     kernel = functools.partial(_linear_attn_kernel, heads=heads,
@@ -331,8 +321,16 @@ def _linear_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads, dim_head,
         return jax.lax.dot_general(t, segf, (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    # recompute softmax(q) over each head's lanes (segmm formulation)
-    mq = jnp.max(qh, axis=2, keepdims=True)
+    # Recompute softmax(q) over each head's lanes with the forward's
+    # PER-HEAD max shift (a row-global shift underflows a head sitting
+    # far below the row max, NaN-ing gradients - ADVICE r4; matching the
+    # forward bit-for-bit keeps fwd/bwd consistent).
+    Bt, N, _ = qh.shape
+    mq = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.max(qh[:, :, h * dim_head:(h + 1) * dim_head],
+                    axis=2, keepdims=True), (Bt, N, dim_head))
+         for h in range(heads)], axis=2)
     eq = jnp.exp(qh - mq)
     s = eq / _seg_bcast(eq)                      # softmax, pre-scale
     # recompute softmax(k) over N
@@ -365,10 +363,33 @@ def _linear_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads, dim_head,
                                     axis=2).astype(dqkv_ref.dtype)
 
 
-def _attn_tile(B, N, hidden, batch_tile):
-    """Shared batch-tile rule (see fused_linear_attention's docstring)."""
-    bt = batch_tile if batch_tile is not None else max(1, 2048 // N)
-    bt = min(bt, max(1, (1 << 20) // (hidden * hidden)))
+def _attn_tile(B, N, hidden, batch_tile, live_factor: int = 1):
+    """THE batch-tile rule, shared by every kernel in this file (a VJP
+    whose forward and backward tile differently BY ACCIDENT would drift
+    in perf and VMEM-cap behavior - ADVICE r4; the backward deliberately
+    halves via ``live_factor``, see below).
+
+    ``batch_tile=None`` sizes the tile so bt*N ~ 2048 rows: the N=64 sweep
+    winner was bt=32 (2048 rows; >=128 overflowed VMEM/compile). The
+    joint-head kernels then materialize a (bt, hidden, hidden) f32 context
+    per tile, so bt is capped to keep it ~4 MB of the ~16 MB scoped VMEM
+    (a fixed bt=32 at N=256 requested 41 MB, measured on the celebhq
+    level). Finally bt drops to the largest DIVISOR of B <= the target:
+    repeated halving degenerates to near-1 tiles when B shares few factors
+    with the ~2048-row target (e.g. B=1024, N=100 -> target 20 would
+    halve to 2), re-entering the tiny-program-overhead regime the module
+    gate exists to avoid.
+
+    ``live_factor``: ratio of a kernel's live working set to the forward
+    kernel's. The BACKWARD passes 2: it keeps ~2x the tensors alive
+    (recomputed softmaxes + two context-sized grads + the dq/dk/dv
+    tiles), and at the forward's bt=32/N=64 tile the round-5 per-head-max
+    recompute measured a 19.17 MB Mosaic stack against the 16 MB
+    scoped-vmem limit on a real v5e (AOT compile error) - halving the
+    tile keeps the backward inside scoped VMEM at every shipped shape."""
+    bt = (batch_tile if batch_tile is not None
+          else max(1, 2048 // N // live_factor))
+    bt = min(bt, max(1, (1 << 20) // (hidden * hidden * live_factor)))
     bt = min(bt, B)
     while B % bt:
         bt -= 1
@@ -379,7 +400,7 @@ def _fused_linear_attention_bwd_call(qkv, g, heads, dim_head, batch_tile,
                                      interpret):
     B, N, C = qkv.shape
     hidden = heads * dim_head
-    bt = _attn_tile(B, N, hidden, batch_tile)
+    bt = _attn_tile(B, N, hidden, batch_tile, live_factor=2)
     kernel = functools.partial(_linear_attn_bwd_kernel, heads=heads,
                                dim_head=dim_head, scale=dim_head ** -0.5)
     return pl.pallas_call(

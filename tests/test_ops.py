@@ -161,7 +161,7 @@ def test_block_fusion_through_prenorm_residual(dtype, B, HW):
 @pytest.mark.parametrize("segmm", [False, True])
 def test_attn_body_formulations_match(segmm):
     """The two joint-head body formulations - concat per-head reduces vs
-    the MXU segment-matmul softmax (row-global max shift + block-diagonal
+    the MXU segment-matmul softmax (per-head max shift + block-diagonal
     ones denominator) - are mathematically identical; both must match the
     XLA einsum composition (ops/linear_attention.py _attn_body)."""
     from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
@@ -192,6 +192,42 @@ def test_attn_body_formulations_match(segmm):
     ref = fused_attention_block(*args, interpret=True, segmm=False)
     np.testing.assert_allclose(np.array(blk), np.array(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_segmm_softmax_no_underflow_with_offset_head():
+    """ADVICE r4 regression: with one head's q logits offset +200, a
+    row-GLOBAL max shift underflows exp() for every OTHER head (their
+    logits sit ~200 below the row max), zeroing the segment denominator
+    and NaN-ing the output. The per-head shift must stay finite and match
+    the XLA composition in forward AND backward (the bwd kernel recomputes
+    the same softmax)."""
+    from score_based_multimodal_autoencoder_tpu.ops.linear_attention import (
+        fused_linear_attention,
+        fused_linear_attention_vjp,
+    )
+
+    heads, d = 4, 32
+    hidden = heads * d
+    B, N = 2, 32
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * hidden))
+    # Head 0's q logits dominate the row by +200.
+    qkv = qkv.at[:, :, :d].add(200.0)
+
+    q, k, v = [p.reshape(B, N, heads, d) for p in jnp.split(qkv, 3, axis=-1)]
+    q = nn.softmax(q, axis=-1) * d ** -0.5
+    k = nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    want = jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+
+    got = fused_linear_attention(qkv, heads, d, interpret=True, segmm=True)
+    assert np.isfinite(np.array(got)).all()
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=2e-5, atol=2e-5)
+
+    cot = jax.random.normal(jax.random.key(1), (B, N, hidden))
+    g = jax.grad(lambda x: jnp.vdot(
+        fused_linear_attention_vjp(x, heads, d, None, True), cot))(qkv)
+    assert np.isfinite(np.array(g)).all()
 
 
 def test_pallas_vjp_grads_match_xla_composition():
