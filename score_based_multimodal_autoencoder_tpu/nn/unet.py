@@ -23,7 +23,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -108,6 +108,13 @@ class LatentUNet(nn.Module):
     # fused kernel) - makes pallas_linear_attn usable in TRAINING.
     # Disables whole-block fusion at the gated sites (forward-only kernel).
     pallas_attn_vjp: bool = False
+    # SPMD mesh for the Pallas sites: when a >1-device Mesh is declared,
+    # every kernel call shard_maps over its 'data' axis (each device runs
+    # the kernel on its local batch shard) instead of forcing XLA to
+    # all-gather around the unpartitionable custom-call. Set by
+    # parallel.mesh.adapt_pallas_for_mesh; see nn/blocks.py
+    # LinearAttention.pallas_spmd_mesh.
+    pallas_spmd_mesh: Any = None
     # tanh-approximated GELU instead of exact erf: ~1.3x faster sampling on
     # TPU (see nn/blocks.py ConvNeXtBlock). Default False = torch parity.
     approx_gelu: bool = False
@@ -157,7 +164,8 @@ class LatentUNet(nn.Module):
                                 pallas_attn=self.pallas_linear_attn,
                                 pallas_min_positions=self.pallas_min_positions,
                                 pallas_block=self.pallas_block_fusion,
-                                pallas_vjp=self.pallas_attn_vjp),
+                                pallas_vjp=self.pallas_attn_vjp,
+                                pallas_spmd_mesh=self.pallas_spmd_mesh),
                 fused_norms=self.fused_norms, name=f"down{i}_attn",
             )(x)
             skips.append(x)
@@ -196,7 +204,8 @@ class LatentUNet(nn.Module):
                                 pallas_attn=self.pallas_linear_attn,
                                 pallas_min_positions=self.pallas_min_positions,
                                 pallas_block=self.pallas_block_fusion,
-                                pallas_vjp=self.pallas_attn_vjp),
+                                pallas_vjp=self.pallas_attn_vjp,
+                                pallas_spmd_mesh=self.pallas_spmd_mesh),
                 fused_norms=self.fused_norms, name=f"up{j}_attn",
             )(x)
             x = upsample(dim_in, self.dtype, name=f"up{j}_up")(x)

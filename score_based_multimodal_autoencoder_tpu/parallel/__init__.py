@@ -1,6 +1,7 @@
 from .mesh import (
     data_parallel_jit,
     dp_shardings,
+    adapt_pallas_for_mesh,
     demote_pallas_for_mesh,
     make_mesh,
     mesh_from_flag,

@@ -28,6 +28,18 @@ from .diffusion.samplers import conditional_sampler, unconditional_sampler
 from .parallel.fleet import VAEFleet
 
 
+# Substrings marking an exception as Pallas/Mosaic-shaped: the kernel
+# compile failure surfaces client-side as a JaxRuntimeError whose message
+# names the Mosaic compile helper (CLAUDE.md), and interpret-mode/lowering
+# failures name pallas/mosaic modules in the message or traceback.
+_PALLAS_ERROR_TOKENS = ("pallas", "mosaic", "tpu_compile_helper")
+
+
+def _looks_pallas_shaped(exc) -> bool:
+    text = f"{type(exc).__module__}.{type(exc).__name__} {exc}".lower()
+    return any(tok in text for tok in _PALLAS_ERROR_TOKENS)
+
+
 def _maybe_disable_pallas(pipe, exc) -> bool:
     """Product-level escape hatch for a Pallas kernel regression.
 
@@ -40,8 +52,16 @@ def _maybe_disable_pallas(pipe, exc) -> bool:
     should be retried; False to re-raise. One-shot by construction: the
     rebuilt model has ``pallas_linear_attn=False``, so a second failure
     propagates.
+
+    Only Pallas/Mosaic-shaped failures trigger the demotion: a genuine
+    non-Pallas error (bad input shape, OOM in the decoder) on a
+    Pallas-enabled pipeline must propagate as itself, not silently
+    demote every subsequent valid call to the ~12%-slower XLA path
+    behind a misleading warning (ADVICE r4).
     """
     if not getattr(pipe.score_model, "pallas_linear_attn", False):
+        return False
+    if not _looks_pallas_shaped(exc):
         return False
     warnings.warn(
         "Pallas sampling path failed on this runtime "
@@ -93,12 +113,13 @@ class SBMAEPipeline:
 
     def __post_init__(self):
         self._jit_cache: Dict[Tuple, Any] = {}
-        from .parallel.mesh import demote_pallas_for_mesh
+        from .parallel.mesh import adapt_pallas_for_mesh
 
         # A >1-device mesh cannot SPMD-partition the Pallas custom-calls
-        # (it would all-gather the batch around every attention site);
-        # demote to the identical-math XLA path (parallel/mesh.py).
-        self.score_model = demote_pallas_for_mesh(
+        # alone (it would all-gather the batch around every attention
+        # site); shard_map them over the data axis so the kernels stay
+        # active (parallel/mesh.py; knob-less models demote to XLA).
+        self.score_model = adapt_pallas_for_mesh(
             self.score_model, self.mesh, "mesh-sharded sampling")
 
     def _jit(self, fn, batch_arg_idx=(), batch_size=None):

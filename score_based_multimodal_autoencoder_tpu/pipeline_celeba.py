@@ -57,11 +57,12 @@ class HeterogeneousPipeline:
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
-        from .parallel.mesh import demote_pallas_for_mesh
+        from .parallel.mesh import adapt_pallas_for_mesh
 
         # See SBMAEPipeline.__post_init__: Pallas custom-calls don't SPMD-
-        # partition; demote to the XLA path under a >1-device mesh.
-        self.score_model = demote_pallas_for_mesh(
+        # partition alone; shard_map them over the data axis (kernels stay
+        # active; knob-less models demote to the XLA path).
+        self.score_model = adapt_pallas_for_mesh(
             self.score_model, self.mesh, "mesh-sharded sampling")
 
     @property

@@ -240,10 +240,10 @@ def train_cond_score_model(
     params/EMA replicated, per-modality input batches sharded on axis 0.
     ``steps_per_dispatch``: fuse K optimizer steps into one ``lax.scan``
     dispatch (same trajectory, see trainer._make_multi_step)."""
-    from ..parallel.mesh import demote_pallas_for_mesh
+    from ..parallel.mesh import adapt_pallas_for_mesh
 
-    score_model = demote_pallas_for_mesh(score_model, mesh,
-                                         "conditional-score training")
+    score_model = adapt_pallas_for_mesh(score_model, mesh,
+                                        "conditional-score training")
     import time
 
     import numpy as np
