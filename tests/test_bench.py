@@ -62,9 +62,9 @@ def _run_main_with_stub(monkeypatch, capsys, fail_pallas):
         def __init__(self, name, dim, channels, hw, mults, n_steps,
                      init_dim=None, mxu=False, pallas_attn=False,
                      approx_gelu=False, mxu_max_positions=256,
-                     block_fusion=True):
+                     block_fusion=True, pallas_vjp=False):
             self.name = name
-            self.pallas = pallas_attn
+            self.pallas = pallas_attn or pallas_vjp
             self.block_fusion = block_fusion
             self.n_steps = n_steps
 
@@ -85,10 +85,22 @@ def _run_main_with_stub(monkeypatch, capsys, fail_pallas):
             return 0.02
 
         def time_train_step(self, batch, reps=10):
+            if self.pallas and fail_pallas:
+                raise RuntimeError("stub Mosaic SIGABRT")
             return 0.022
 
         def time_train_scan(self, batch, k=8, reps=5):
             return 0.020
+
+        def train_flops(self, batch):
+            return 1e9 * batch
+
+        def measure_cond(self, batch, n_observed, peak, label, reps=3,
+                         bake_params=False, guided=False, pc=False):
+            if self.pallas and fail_pallas:
+                raise RuntimeError("stub Mosaic SIGABRT")
+            sec = (0.6 if self.n_steps == 100 else 16.0) * (2 if pc else 1)
+            return {"sps": batch / sec, "mfu": 0.4, "sec": sec}
 
     monkeypatch.setattr(bench, "Workload", StubWorkload)
     monkeypatch.setattr(bench, "wait_for_devices", lambda *a, **k: None)
@@ -102,10 +114,15 @@ def test_main_all_fields_on_success(monkeypatch, capsys):
     r = _run_main_with_stub(monkeypatch, capsys, fail_pallas=False)
     assert r["config"] == "tpu128-pallas-b1024"
     for f in ("value", "mfu", "qkv_attn_sps", "xla_attn_sps", "train_sps",
-              "train_scan_sps", "celebhq_sps", "celebhq_mfu", "vs_baseline",
-              "vs_ref_pattern", "interactive_b16_speedup"):
+              "train_scan_sps", "train_pallas_sps", "train_mfu",
+              "cond_sps", "cond_mfu", "cond_vs_uncond", "guided_sps",
+              "cond_pc_sps", "celebhq_sps", "celebhq_mfu",
+              "celebhq_cond_sps", "celebhq_cond_mfu", "celebhq_train_sps",
+              "celebhq_train_mfu", "vs_baseline", "vs_ref_pattern",
+              "interactive_b16_speedup"):
         assert f in r, f
     assert r["vs_baseline_anchor"] == "same-model-per-step-loop-b1024"
+    assert "cond_config" not in r  # signature loop ran on the Pallas preset
 
 
 def test_main_degrades_gracefully_on_pallas_failure(monkeypatch, capsys):
@@ -118,7 +135,12 @@ def test_main_degrades_gracefully_on_pallas_failure(monkeypatch, capsys):
     assert r["value"] > 0
     assert r["config"] == "tpu128-b1024 (pallas-attn fallback)"
     assert "qkv_attn_sps" not in r  # that variant genuinely failed
+    assert "train_pallas_sps" not in r  # the Pallas-VJP step failed too
     for f in ("xla_attn_sps", "train_sps", "train_scan_sps", "celebhq_sps",
-              "vs_baseline", "vs_ref_pattern", "interactive_b16_speedup"):
+              "cond_sps", "guided_sps", "celebhq_cond_sps",
+              "celebhq_train_sps", "vs_baseline", "vs_ref_pattern",
+              "interactive_b16_speedup"):
         assert f in r, f
     assert r["celebhq_config"] == "xla-attn fallback"
+    # The signature loop survived the kernel failure on the XLA preset.
+    assert r["cond_config"] == "xla-attn fallback"
