@@ -75,6 +75,10 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="checkpoint every N epochs (1 = reference parity; "
+                        "at flagship scale each save is ~500 MB of orbax "
+                        "writes - raise for long runs)")
     p.add_argument("--host-data", action="store_true",
                    help="keep the training array on host and gather "
                         "batches on CPU (default: auto device-resident "
@@ -181,7 +185,8 @@ def main():
             eval_every=args.eval_every, eval_fn=eval_fn,
             metrics_path=args.metrics, resume=args.resume, mesh=mesh,
             ncsn_sigmas=ncsn_sigmas,
-            steps_per_dispatch=args.steps_per_dispatch)
+            steps_per_dispatch=args.steps_per_dispatch,
+            ckpt_every=args.ckpt_every)
         return
 
     if args.synthetic:
@@ -249,7 +254,8 @@ def main():
         metrics_path=args.metrics, resume=args.resume, mesh=mesh,
         ncsn_sigmas=ncsn_sigmas,
         steps_per_dispatch=args.steps_per_dispatch,
-        device_data=False if args.host_data else None)
+        device_data=False if args.host_data else None,
+        ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,10 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices (DP mesh over ICI; "
                         "params replicated, gradient all-reduce by XLA)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="checkpoint every N epochs (1 = reference parity; "
+                        "at flagship scale each save is ~500 MB of orbax "
+                        "writes - raise for long runs)")
     p.add_argument("--host-data", action="store_true",
                    help="keep the training array on host and gather "
                         "batches on CPU (default: auto device-resident "
@@ -118,7 +122,8 @@ def main():
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         ckpt_dir=args.ckpt_dir, loss_type=args.vae_type, resume=args.resume,
         mesh=mesh, steps_per_dispatch=args.steps_per_dispatch,
-        device_data=False if args.host_data else None)
+        device_data=False if args.host_data else None,
+        ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":

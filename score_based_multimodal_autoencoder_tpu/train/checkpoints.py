@@ -12,6 +12,7 @@ and the PRNG key are checkpointed, giving true preemption-safe resume
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
@@ -29,14 +30,47 @@ class CheckpointManager:
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _save_atomic(self, name: str, state: Any):
+        """Crash-safe save: write to ``<name>.new``, wait until durable,
+        then swap into place.
+
+        ``StandardCheckpointer.save(force=True)`` deletes the existing
+        final directory when the (async) save STARTS - a process killed
+        inside that window leaves NO valid checkpoint, and a subsequent
+        ``--resume`` silently restarts from scratch (observed live in the
+        round-5 flagship run: a mid-save kill at epoch 11 erased ``last``
+        and the resumed process re-trained from epoch 0). The swap keeps
+        a complete ``name`` directory on disk at every instant.
+        """
+        new = self._dir(name + ".new")
+        old = self._dir(name + ".old")
+        final = self._dir(name)
+        shutil.rmtree(new, ignore_errors=True)
+        # Also clear orbax's own in-flight tmp dirs: a killed process
+        # leaves "<target>.orbax-checkpoint-tmp" behind, and a later save
+        # to the same target writes into the poisoned OCDBT database and
+        # crashes with a tensorstore rename NOT_FOUND (observed live,
+        # round 5: run 2's kill left resume_opt.orbax-checkpoint-tmp and
+        # run 3 died saving epoch 10).
+        for stale in (new + ".orbax-checkpoint-tmp",
+                      final + ".orbax-checkpoint-tmp"):
+            shutil.rmtree(stale, ignore_errors=True)
+        self._ckpt.save(new, state, force=True)
+        self._ckpt.wait_until_finished()  # durable before the swap
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(new, final)
+        shutil.rmtree(old, ignore_errors=True)
+
     def save_last(self, state: Any):
-        self._ckpt.save(self._dir("last"), state, force=True)
+        self._save_atomic("last", state)
 
     def save_best(self, state: Any, metric: float):
         """Save iff ``metric`` improves (lower = better, val-loss policy)."""
         if self.best_metric is None or metric < self.best_metric:
             self.best_metric = float(metric)
-            self._ckpt.save(self._dir("best"), state, force=True)
+            self._save_atomic("best", state)
             return True
         return False
 
@@ -48,7 +82,7 @@ class CheckpointManager:
         tree because its typed pytree (optax namedtuples) must be restored
         into a freshly-initialized target while the payload restores raw.
         """
-        self._ckpt.save(self._dir("resume"), payload, force=True)
+        self._save_atomic("resume", payload)
         if opt_state is not None:
             self.save_opt(opt_state)
 
@@ -56,7 +90,7 @@ class CheckpointManager:
         """Optimizer-state companion to ``save_last``/``save_resume`` (the
         reference never persists optimizer moments - train_polyupd.py:229
         comments the save out; here Adam state survives preemption)."""
-        self._ckpt.save(self._dir("resume_opt"), opt_state, force=True)
+        self._save_atomic("resume_opt", opt_state)
 
     def restore_opt(self, target: Any) -> Any:
         """Typed restore of the optimizer state saved by ``save_opt``;

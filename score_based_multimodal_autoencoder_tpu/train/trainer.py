@@ -236,6 +236,7 @@ def train_vae_fleet(
     mesh=None,
     steps_per_dispatch: int = 1,
     device_data: Optional[bool] = None,
+    ckpt_every: int = 1,
 ) -> Dict[str, Any]:
     """``mesh``: optional DP mesh (parallel.mesh.make_mesh) - fleet state
     replicated, batches sharded (n_mod, B->data, ...); XLA inserts the
@@ -338,9 +339,10 @@ def train_vae_fleet(
             val_loss = _fleet_val_loss(eval_step, state, pixels_val,
                                        batch_size, sub, batch_sh)
             _log(f"epoch {epoch}: val={val_loss:.4f}")
-            if mgr:
+            if mgr and ((epoch + 1) % ckpt_every == 0
+                        or epoch == epochs - 1):
                 mgr.save_best(state, val_loss)
-        if mgr:
+        if mgr and ((epoch + 1) % ckpt_every == 0 or epoch == epochs - 1):
             mgr.save_last(state)
             mgr.save_resume({
                 "state": state, "epoch": epoch,
@@ -513,8 +515,16 @@ def train_score_model(
     ncsn_sigmas=None,
     steps_per_dispatch: int = 1,
     device_data: Optional[bool] = None,
+    ckpt_every: int = 1,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training of the latent score network.
+
+    - ``ckpt_every``: checkpoint cadence in epochs (default 1 = the
+      reference's every-epoch best/last saves). At flagship scale the
+      ~500 MB of orbax writes per epoch (last + best + optimizer) cost
+      ~43 s on this single-core host against a ~1 s train epoch, so long
+      runs should checkpoint every N epochs; the final epoch always
+      saves.
 
     - ``mesh``: optional DP mesh - score params/opt/EMA and the frozen
       fleet replicated, pixel batches sharded (n_mod, B->data, ...); the
@@ -564,6 +574,15 @@ def train_score_model(
                     else jax.device_put(np.asarray(pixels_train)))
         _log(f"device-resident data: {pixels_train.nbytes / 1e6:.0f} MB "
              f"in HBM; steps consume (B,) index arrays")
+    val_dev = None
+    if device_data and pixels_val is not None:
+        # Validation rides in HBM too: the per-epoch full-val pass was
+        # host-gathering + shipping ~150 MB over the device link every
+        # epoch (measured 5-20 s/epoch on the tunneled v5e against a
+        # ~1 s train epoch).
+        val_dev = (jax.device_put(np.asarray(pixels_val), rep)
+                   if rep is not None
+                   else jax.device_put(np.asarray(pixels_val)))
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
     grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
     key, init_key = jax.random.split(key)
@@ -638,6 +657,12 @@ def train_score_model(
         latents = fleet.encode(fstate, pixels, latent_hw)
         return _loss(params, latents, key)
 
+    @jax.jit
+    def val_step_idx(params, idx, key, fstate, vdata):
+        latents = fleet.encode(
+            fstate, _device_gather01(vdata, idx, batch_sh), latent_hw)
+        return _loss(params, latents, key)
+
     pipeline = None
     if sample_every or (eval_every and eval_fn):
         if ncsn_sigmas is not None:
@@ -667,12 +692,16 @@ def train_score_model(
         n, vals, weights = pixels_val.shape[1], [], []
         vkey = val_key
         for i in range(0, n, batch_size):
-            vb = _put_batch(gather_batch_01(
-                pixels_val, np.arange(i, min(i + batch_size, n))),
-                batch_sh, axis=1)
+            hi = min(i + batch_size, n)
             vkey, sub = jax.random.split(vkey)
-            vals.append(val_step(params, vb, sub, fleet_state))
-            weights.append(vb.shape[1])
+            if val_dev is not None:
+                vals.append(val_step_idx(
+                    params, jnp.arange(i, hi), sub, fleet_state, val_dev))
+            else:
+                vb = _put_batch(gather_batch_01(pixels_val, np.arange(i, hi)),
+                                batch_sh, axis=1)
+                vals.append(val_step(params, vb, sub, fleet_state))
+            weights.append(hi - i)
         return _weighted_mean(vals, weights)
 
     n = pixels_train.shape[1]
@@ -741,7 +770,7 @@ def train_score_model(
             flat = _flatten_metrics(results)
             logger.log(epoch, **flat)
 
-        if mgr:
+        if mgr and ((epoch + 1) % ckpt_every == 0 or epoch == epochs - 1):
             ckpt = {"params": params, "ema": ema, "epoch": epoch,
                     "key": jax.random.key_data(key),
                     "best_metric": (np.nan if mgr.best_metric is None
@@ -803,6 +832,7 @@ def train_het_score_model(
     mesh=None,
     ncsn_sigmas=None,
     steps_per_dispatch: int = 1,
+    ckpt_every: int = 1,
 ) -> Dict[str, Any]:
     """Stage-2 DSM training over heterogeneous frozen AEs (the CelebA path,
     /root/reference/train_lat_celebhq_unet_cont2.py:376-561): encode the
@@ -953,7 +983,7 @@ def train_het_score_model(
             key, ekey = jax.random.split(key)
             logger.log(epoch, **_flatten_metrics(eval_fn(pipeline, ekey)))
 
-        if mgr:
+        if mgr and ((epoch + 1) % ckpt_every == 0 or epoch == epochs - 1):
             ckpt = {"params": params, "ema": ema, "epoch": epoch,
                     "key": jax.random.key_data(key),
                     "best_metric": (np.nan if mgr.best_metric is None

@@ -97,3 +97,36 @@ def test_single_vae_trainer_resume(tmp_path):
                             resume=True, **kw)
     c = jax.tree_util.tree_leaves(out3["state"].params)[0]
     np.testing.assert_array_equal(np.array(b), np.array(c))
+
+
+def test_checkpoint_saves_are_crash_safe(tmp_path):
+    """A save must never leave the manager without a complete checkpoint:
+    saves write to ``<name>.new`` and atomically swap (a kill inside
+    orbax's force=True window previously ERASED ``last`` - observed live
+    in the round-5 flagship run, where the resumed process silently
+    restarted from epoch 0). Also covers recovery from stale ``.new`` /
+    ``.old`` leftovers of an interrupted earlier save."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state1 = {"params": {"w": jnp.ones((3,))}, "epoch": 1}
+    state2 = {"params": {"w": jnp.full((3,), 2.0)}, "epoch": 2}
+    mgr.save_last(state1)
+    assert mgr.exists("last")
+    # Overwrite: the previous complete dir must persist until the new one
+    # is durable; afterwards no temp dirs remain.
+    mgr.save_last(state2)
+    got = mgr.restore_raw("last")
+    assert int(got["epoch"]) == 2
+    root = str(tmp_path / "ck")
+    assert not os.path.isdir(os.path.join(root, "last.new"))
+    assert not os.path.isdir(os.path.join(root, "last.old"))
+
+    # Stale leftovers from a killed save must not break the next one.
+    os.makedirs(os.path.join(root, "last.new", "junk"))
+    os.makedirs(os.path.join(root, "last.old", "junk"))
+    mgr.save_last(state1)
+    got = mgr.restore_raw("last")
+    assert int(got["epoch"]) == 1
+    assert not os.path.isdir(os.path.join(root, "last.new"))
+    assert not os.path.isdir(os.path.join(root, "last.old"))

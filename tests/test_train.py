@@ -277,10 +277,13 @@ def test_device_data_trajectory_equivalent():
     fleet_state = fleet.init(jax.random.key(0), jnp.zeros((2, 16, 16, 3)))
     sde = VPSDE(N=10)
 
+    va = synthetic_polymnist(n=12, n_mod=2, size=16, seed=1)
+
     def run_score(dd, k=1):
         model = LatentUNet(dim=12, init_dim=8, channels=2, dim_mults=(1, 2))
         return train_score_model(
             model, sde, fleet, fleet_state, ds.images, 4,
+            pixels_val=va.images,  # exercises the device-resident val pass
             lr=1e-3, batch_size=8, epochs=2, likelihood_weighting=False,
             seed=3, steps_per_dispatch=k, device_data=dd)
 
