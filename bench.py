@@ -620,10 +620,14 @@ def main():
     # 1d. Conditional + pairwise-EBM guidance: jax.grad of the coherence
     #     EBM inside the scan body (sde_helper2.py:283-313), one
     #     (observed, predicted) pair per predicted channel (5 pairs).
+    #     Params ride as jit ARGUMENTS here: the guided program with the
+    #     ~140 MB baked tree crashed the remote compiler outright
+    #     (tpu_compile_helper SIGILL on a 174 MB serialized program,
+    #     round 5) where the plain conditional merely tolerated it.
     if cond_wl is not None and left() > 240:
         try:
             m = cond_wl.measure_cond(1024, 5, peak, "guided-given5-b1024",
-                                     reps=6, bake_params=True, guided=True)
+                                     reps=6, bake_params=False, guided=True)
             result["guided_sps"] = round(m["sps"], 2)
             result["guided_mfu"] = round(m["mfu"], 4)
         except Exception as e:

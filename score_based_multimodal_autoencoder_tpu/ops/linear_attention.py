@@ -48,6 +48,27 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+def _seg_softmax(q, segf, dim_head):
+    """Per-head softmax over each head's ``dim_head`` lanes with BOTH
+    segment reductions (shift and denominator) riding the block-diagonal
+    ones matmul - no VPU concat/broadcast chains.
+
+    The shift is the per-head MEAN (uniform across a head's lanes, so the
+    softmax value is exactly the max-shifted softmax up to rounding); the
+    +60 top-clamp bounds exp() against pathological per-head spreads (see
+    _attn_body's docstring). Shared by the forward segmm body and the
+    backward kernel's recompute so fwd/bwd stay consistent (ADVICE r4).
+    """
+    m = jax.lax.dot_general(
+        q, segf, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (1.0 / dim_head)
+    e = jnp.exp(jnp.minimum(q - m, 60.0))
+    denom = jax.lax.dot_general(
+        e, segf, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return e / denom
+
+
 def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False,
                mm_dtype=None):
     """Joint-head linear-attention body on f32 (Bt, N, hidden) tensors.
@@ -68,17 +89,20 @@ def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False,
 
     - ``segmm=False``: per-head max/sum reduces broadcast back via
       concatenate (the proven round-3 body).
-    - ``segmm=True``: a PER-HEAD max shift (concat/broadcast - cheap next
-      to the exp) followed by one exp, with the per-head denominators
-      computed AND broadcast in a single dot_general against the
-      block-diagonal ones matrix - the segment-SUM work (the expensive
-      reduce+broadcast pair) rides the MXU instead of VPU
-      concat/broadcast shuffles. An earlier row-GLOBAL max shift was
-      mathematically equivalent but numerically unsafe: a head whose
-      logits all sit ~90+ below the row max has every exp() underflow to
-      0 in f32, zeroing the denominator and NaN-ing the whole head
-      (ADVICE r4); the per-head shift pins each head's max lane at
-      exp(0) = 1 so the denominator is always >= 1.
+    - ``segmm=True``: a PER-HEAD MEAN shift computed AND broadcast by the
+      same block-diagonal ones dot_general as the denominator, one exp,
+      then the matmul denominator - ALL the per-head segment work rides
+      the MXU, with zero VPU concat/broadcast chains (see
+      ``_seg_softmax``). Softmax is invariant to any per-head-uniform
+      shift, so values are exactly the per-head-max softmax up to float
+      rounding. Numerics: an earlier row-GLOBAL max shift underflowed a
+      head sitting ~90+ below the row max (zero denominator -> NaN,
+      ADVICE r4); the mean shift tracks each head's own level, so
+      cross-head offsets are harmless and the exp range is bounded by a
+      head's INTERNAL spread, with a +60 top-clamp guarding the
+      pathological spread>60 case against overflow (the clamp only
+      flattens lanes that are all >60 above their head's mean - where
+      the true softmax is a near-one-hot anyway).
     """
     Bt, N, hidden = q.shape
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
@@ -94,11 +118,7 @@ def _attn_body(q, k, v, *, heads, dim_head, scale, segmm=False,
              for h in range(heads)], axis=2)
 
     if segmm:
-        e = jnp.exp(q - _per_head(q, jnp.max))
-        denom = jax.lax.dot_general(
-            e, seg.astype(jnp.float32), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        q = e / denom * scale
+        q = _seg_softmax(q, seg.astype(jnp.float32), dim_head) * scale
     else:
         q = jnp.exp(q - _per_head(q, jnp.max))
         q = q / _per_head(q, jnp.sum) * scale
@@ -321,18 +341,12 @@ def _linear_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads, dim_head,
         return jax.lax.dot_general(t, segf, (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    # Recompute softmax(q) over each head's lanes with the forward's
-    # PER-HEAD max shift (a row-global shift underflows a head sitting
-    # far below the row max, NaN-ing gradients - ADVICE r4; matching the
-    # forward bit-for-bit keeps fwd/bwd consistent).
-    Bt, N, _ = qh.shape
-    mq = jnp.concatenate(
-        [jnp.broadcast_to(
-            jnp.max(qh[:, :, h * dim_head:(h + 1) * dim_head],
-                    axis=2, keepdims=True), (Bt, N, dim_head))
-         for h in range(heads)], axis=2)
-    eq = jnp.exp(qh - mq)
-    s = eq / _seg_bcast(eq)                      # softmax, pre-scale
+    # Recompute softmax(q) with the forward's segment-matmul mean-shift
+    # formulation (_seg_softmax) - bit-identical to the forward, and no
+    # concat/broadcast buffers (a row-global shift NaN'd far-below-row
+    # heads, ADVICE r4; a concat per-head max overflowed the 16 MB scoped
+    # VMEM at the forward's tile and cost the VJP's +17% win, round 5).
+    s = _seg_softmax(qh, segf, dim_head)         # softmax, pre-scale
     # recompute softmax(k) over N
     mk = jnp.max(kh, axis=1, keepdims=True)
     ek = jnp.exp(kh - mk)
