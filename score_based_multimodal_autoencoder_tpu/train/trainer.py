@@ -126,17 +126,56 @@ def auto_device_data(requested=None, nbytes: int = 0,
         return False
 
 
-def _device_gather01(data_dev, idx, batch_sh=None, axis: int = 1):
-    """On-device shuffled-batch assembly: ``take`` + uint8->f32/255.
+def stage_device_data(arr, rep=None):
+    """Stage a (n_mod, N, ...) training array in device memory for fast
+    per-step gathers: N-MAJOR rows, uint8 packed as uint32 words.
+
+    Layout is everything for the TPU gather: ``jnp.take`` over axis 1 of
+    the modality-major uint8 array measured 47.3 ms per b1024 batch on
+    the v5e (sub-word gather of short rows - 2x the whole train step),
+    while one sample = one contiguous uint32 row gathers the same bytes
+    in 2.2 ms (21x; /tmp-probe figures recorded in BASELINE.md). The
+    uint32 view is free on the host; non-uint8 (or non-word-aligned)
+    arrays stage as normalized f32 rows instead.
+
+    Returns ``(rows_dev, meta)`` - pass both to :func:`_device_gather01`
+    (``meta`` is static shape/kind info baked into the jitted gather).
+    """
+    arr = np.asarray(arr)
+    n_mod, N = arr.shape[0], arr.shape[1]
+    rest = arr.shape[2:]
+    nm = np.ascontiguousarray(np.moveaxis(arr, 0, 1)).reshape(N, -1)
+    row_elems = nm.shape[1]
+    if arr.dtype == np.uint8 and row_elems % 4 == 0:
+        rows = nm.view(np.uint32)
+        kind = "u8"
+    else:
+        rows = nm.astype(np.float32)
+        if arr.dtype == np.uint8:
+            rows = rows / np.float32(255.0)
+        kind = "f32"
+    dev = (jax.device_put(rows, rep) if rep is not None
+           else jax.device_put(rows))
+    return dev, (kind, n_mod, tuple(rest))
+
+
+def _device_gather01(data_dev, idx, meta, batch_sh=None):
+    """On-device shuffled-batch assembly from :func:`stage_device_data`
+    rows: ``take`` whole-sample rows + unpack + f32/255 + restore the
+    modality-major (n_mod, B, ...) layout.
 
     The jit-traced analogue of data.loader.gather_batch_01; ``batch_sh``
-    re-shards the gathered batch for DP meshes (the uint8 dataset itself
+    re-shards the gathered batch for DP meshes (the staged dataset itself
     is replicated)."""
-    x = jnp.take(data_dev, idx, axis=axis)
-    if data_dev.dtype == jnp.uint8:
-        x = x.astype(jnp.float32) / 255.0
+    kind, n_mod, rest = meta
+    B = idx.shape[0]
+    x = jnp.take(data_dev, idx, axis=0)  # (B, row)
+    if kind == "u8":
+        x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+        x = x.reshape((B, n_mod) + rest).astype(jnp.float32) / 255.0
     else:
-        x = x.astype(jnp.float32)
+        x = x.reshape((B, n_mod) + rest)
+    x = jnp.moveaxis(x, 0, 1)  # (n_mod, B, ...)
     if batch_sh is not None:
         x = jax.lax.with_sharding_constraint(x, batch_sh)
     return x
@@ -250,11 +289,9 @@ def train_vae_fleet(
     fleet = VAEFleet(vae_model, n_mod, tx, beta=beta, loss_type=loss_type)
     rep, batch_sh = _dp_shardings(mesh, modality_major=True)
     device_data = auto_device_data(device_data, pixels_train.nbytes)
-    data_dev = None
+    data_dev = data_meta = None
     if device_data:
-        data_dev = (jax.device_put(np.asarray(pixels_train), rep)
-                    if rep is not None
-                    else jax.device_put(np.asarray(pixels_train)))
+        data_dev, data_meta = stage_device_data(pixels_train, rep)
         _log(f"device-resident data: {pixels_train.nbytes / 1e6:.0f} MB "
              f"in HBM; steps consume (B,) index arrays")
     key = jax.random.key(seed)
@@ -267,7 +304,7 @@ def train_vae_fleet(
         # with HTTP 413 - the round-3 params-as-arguments rule).
         def _fleet_core(state, idx, key, data):
             return fleet.train_step(
-                state, _device_gather01(data, idx, batch_sh), key)
+                state, _device_gather01(data, idx, data_meta, batch_sh), key)
     else:
         _fleet_core = fleet.train_step
     extra = (data_dev,) if device_data else ()
@@ -565,24 +602,21 @@ def train_score_model(
     rep, batch_sh = _dp_shardings(mesh, modality_major=True)
     fleet_state = _replicate(fleet_state, rep)
     device_data = auto_device_data(device_data, pixels_train.nbytes)
-    data_dev = None
+    data_dev = data_meta = None
     if device_data:
-        # Whole dataset to HBM once (uint8: 60k x 10 PolyMNIST = 1.8 GB);
-        # replicated across a DP mesh so every device gathers locally.
-        data_dev = (jax.device_put(np.asarray(pixels_train), rep)
-                    if rep is not None
-                    else jax.device_put(np.asarray(pixels_train)))
+        # Whole dataset to HBM once (uint8: 60k x 10 PolyMNIST = 1.8 GB;
+        # N-major uint32-packed rows, see stage_device_data); replicated
+        # across a DP mesh so every device gathers locally.
+        data_dev, data_meta = stage_device_data(pixels_train, rep)
         _log(f"device-resident data: {pixels_train.nbytes / 1e6:.0f} MB "
              f"in HBM; steps consume (B,) index arrays")
-    val_dev = None
+    val_dev = val_meta = None
     if device_data and pixels_val is not None:
         # Validation rides in HBM too: the per-epoch full-val pass was
         # host-gathering + shipping ~150 MB over the device link every
         # epoch (measured 5-20 s/epoch on the tunneled v5e against a
         # ~1 s train epoch).
-        val_dev = (jax.device_put(np.asarray(pixels_val), rep)
-                   if rep is not None
-                   else jax.device_put(np.asarray(pixels_val)))
+        val_dev, val_meta = stage_device_data(pixels_val, rep)
     sample_pixels = jnp.asarray(to_float01(pixels_train[:, :2]))
     grid0 = fleet.encode(fleet_state, sample_pixels, latent_hw)
     key, init_key = jax.random.split(key)
@@ -634,7 +668,7 @@ def train_score_model(
         # constants, and at flagship scale (fleet ~100 MB + data ~300 MB)
         # the serialized program exceeds the tunneled remote-compile's
         # request limit (HTTP 413 - the round-3 params-as-arguments rule).
-        pixels = (_device_gather01(data, batch, batch_sh)
+        pixels = (_device_gather01(data, batch, data_meta, batch_sh)
                   if device_data else batch)
         latents = fleet.encode(fstate, pixels, latent_hw)
         loss, grads = jax.value_and_grad(
@@ -660,7 +694,8 @@ def train_score_model(
     @jax.jit
     def val_step_idx(params, idx, key, fstate, vdata):
         latents = fleet.encode(
-            fstate, _device_gather01(vdata, idx, batch_sh), latent_hw)
+            fstate, _device_gather01(vdata, idx, val_meta, batch_sh),
+            latent_hw)
         return _loss(params, latents, key)
 
     pipeline = None

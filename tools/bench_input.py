@@ -46,6 +46,7 @@ def main():
     from score_based_multimodal_autoencoder_tpu.nn import LatentUNet
     from score_based_multimodal_autoencoder_tpu.train.trainer import (
         _device_gather01,
+        stage_device_data,
     )
     from score_based_multimodal_autoencoder_tpu.utils import (
         enable_compilation_cache,
@@ -71,6 +72,7 @@ def main():
     host_ms = (time.perf_counter() - t0) / len(idxs) * 1e3
     out["host_gather_ms_per_batch"] = round(host_ms, 1)
     out["host_gather_sps"] = round(batch / (host_ms / 1e3), 1)
+    print("partial:", json.dumps(out), file=sys.stderr, flush=True)
 
     # Shared train step: the flagship DSM step on an 8x8x10 latent grid.
     # The frozen-encoder stage is elided (identical in both variants); the
@@ -101,12 +103,17 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # 2. device-data: uint8 array in HBM, gather fused into the step.
-    data_dev = jax.device_put(data)
+    # 2. device-data: N-major uint32-packed rows in HBM (the staged
+    #    layout - a modality-major uint8 take measured 47.3 ms/batch vs
+    #    2.2 ms for whole-sample uint32 rows), gather fused into the
+    #    step. The array rides as a jit ARGUMENT - closed over it becomes
+    #    a 1.8 GB HLO constant and kills the tunneled remote compile
+    #    ("Broken pipe"; the same rule the trainers follow).
+    data_dev, data_meta = stage_device_data(data)
 
     @jax.jit
-    def step_device_data(params, opt_state, idx, key):
-        pixels = _device_gather01(data_dev, idx)
+    def step_device_data(params, opt_state, idx, key, ddata):
+        pixels = _device_gather01(ddata, idx, data_meta)
         return step_from_pixels(params, opt_state, pixels, key)
 
     # 2b. pre-staged batch (input cost excluded) - the pure-compute anchor.
@@ -116,12 +123,13 @@ def main():
 
     reps = 10
     idx_dev = [jnp.asarray(i.astype(np.int32)) for i in idxs]
-    p, o, loss = step_device_data(params, opt0, idx_dev[0], jax.random.key(1))
+    p, o, loss = step_device_data(params, opt0, idx_dev[0], jax.random.key(1),
+                                  data_dev)
     force_sync(loss)
     t0 = time.perf_counter()
     for i in range(reps):
         p, o, loss = step_device_data(p, o, idx_dev[i % len(idx_dev)],
-                                      jax.random.key(2 + i))
+                                      jax.random.key(2 + i), data_dev)
     force_sync(loss)
     dev_ms = (time.perf_counter() - t0) / reps * 1e3
     out["device_data_step_ms"] = round(dev_ms, 2)
