@@ -49,7 +49,18 @@ def make_pairwise_guidance(
 
     def transform(score, x, t, key):
         del key
-        B = x.shape[0]
+        B, C = x.shape[0], x.shape[-1]
+
+        def _add_channel(score, ch, update):
+            # One-hot masked add instead of score.at[..., ch].add(...):
+            # pure elementwise, so XLA fuses it into the scan body. The
+            # scatter form compiled fine standalone but made the TPU
+            # compiler SIGILL inside the guided whole-trajectory sampling
+            # scan (observed on a v5e, round 5); values are identical
+            # (ch is a trace-time constant).
+            onehot = (jnp.arange(C) == ch).astype(score.dtype)
+            return score + update[..., None] * onehot
+
         for (i, j) in active:
             fn = energy_fns[(i, j)]
 
@@ -65,13 +76,13 @@ def make_pairwise_guidance(
             pair = jnp.stack([x[..., i], x[..., j]], axis=-1)
             g = jax.grad(mean_energy)(pair)
             if mode == "all_pairs":
-                score = score.at[..., i].add(-cl_scale * g[..., 0])
-                score = score.at[..., j].add(-cl_scale * g[..., 1])
+                score = _add_channel(score, i, -cl_scale * g[..., 0])
+                score = _add_channel(score, j, -cl_scale * g[..., 1])
             elif mode == "predicted_only":
                 if not observed[i]:
-                    score = score.at[..., i].add(-cl_scale * g[..., 0])
+                    score = _add_channel(score, i, -cl_scale * g[..., 0])
                 if not observed[j]:
-                    score = score.at[..., j].add(-cl_scale * g[..., 1])
+                    score = _add_channel(score, j, -cl_scale * g[..., 1])
             else:
                 raise ValueError(mode)
         return score
